@@ -1,0 +1,358 @@
+"""Prompted batched beam search with KV cache (the inference hot loop).
+
+TPU-native replacement for the reference's
+``S2SMultiTaskTransformerBeamSearch`` (``stac-st/modules/mutitask_decoder.py``
++ SpeechBrain ``S2SBeamSearcher``): the decoder is seeded with the prompt
+``[bos, source_lang, target_lang]`` (Whisper-style task selection —
+``mutitask_decoder.py:85-103``), then beams are expanded to a *static*
+``max_decode_ratio × enc_frames`` step budget.
+
+Where the reference re-decodes the full prefix every step with no KV cache
+(``mutitask_decoder.py:119-128`` → ``TransformerMultiTask.decode`` — O(L²)
+per hypothesis), this implementation:
+
+* keeps a functional KV cache (one append + per-step gather reorder of the
+  self-attention cache only; the beam-invariant cross K/V is never moved);
+* runs batch×beam flattened so every matmul stays MXU-shaped;
+* compiles once per (batch, enc_len, steps) bucket via ``lax.scan`` —
+  no data-dependent shapes; the language prompt is runtime data, so
+  switching ASR↔ST does NOT recompile (the reference re-initializes the
+  searcher per batch — ``train_multitask.py:98-136``).
+
+Semantics preserved from the reference configuration (yaml:228-251):
+temperature on logits before log-softmax, optional eos-threshold gating
+(eos allowed only when its log-prob ≥ 1.5 × the best token's), optional
+length normalization (selection on score/length, final score normalized),
+min/max decode ratios relative to encoder frames, and hypotheses returned
+*without* prompt or eos — exactly what the recipes feed to the tokenizer
+(``dataio_and_utils.py:366-419``). Like the reference's shipped decode path,
+cross-attention does not mask encoder padding by default
+(``mutitask_decoder.py:126`` passes no ``enc_len``); enable
+``mask_encoder_padding`` for strict-masked decoding on wide buckets.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["BeamSearchConfig", "beam_search", "MultiTaskBeamSearch",
+           "greedy_search"]
+
+NEG_INF = -1.0e9
+
+
+class BeamSearchConfig(NamedTuple):
+    beam_size: int = 5
+    bos_index: int = 1
+    eos_index: int = 2
+    min_decode_ratio: float = 0.0
+    max_decode_ratio: float = 1.0
+    using_eos_threshold: bool = False
+    eos_threshold: float = 1.5
+    length_normalization: bool = False
+    temperature: float = 1.0
+
+
+def default_cache_gather(cache, flat_parent):
+    """Reorder every (BB, ...) leaf of the cache by flat beam indices."""
+    BB = flat_parent.shape[0]
+
+    def gather(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == BB:
+            return jnp.take(leaf, flat_parent, axis=0)
+        return leaf
+
+    return jax.tree_util.tree_map(gather, cache)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "decode_step_fn", "init_cache_fn", "cache_gather_fn", "max_steps",
+        "config",
+    ),
+)
+def beam_search(
+    decode_step_fn: Callable,
+    init_cache_fn: Callable,
+    enc_out: jax.Array,
+    prompt: jax.Array,
+    max_steps: int,
+    config: BeamSearchConfig,
+    cache_gather_fn: Callable = default_cache_gather,
+):
+    """Run beam search.
+
+    Args:
+      decode_step_fn: (tokens (BB,), position (), cache) ->
+        (raw logits (BB, V), new cache).
+      init_cache_fn: (enc_out_tiled (BB, S, d), max_len) -> cache pytree.
+      enc_out: (B, S, d) encoder output.
+      prompt: (3,) int32 [bos, src_lang, tgt_lang] (any length ≥ 1).
+      max_steps: static decode-step budget.
+      config: BeamSearchConfig (static).
+      cache_gather_fn: (cache, flat_parent (BB,)) -> reordered cache.
+
+    Returns:
+      tokens (B, max_steps) best hypothesis (post-prompt, no eos),
+      lengths (B,), scores (B,).
+    """
+    B, S, _ = enc_out.shape
+    beam = config.beam_size
+    BB = B * beam
+
+    enc_tiled = jnp.repeat(enc_out, beam, axis=0)
+    prompt_len = prompt.shape[0]
+    cache = init_cache_fn(enc_tiled, prompt_len + max_steps)
+
+    # --- warmup: feed the prompt through the cache ---
+    logits = None
+    for p in range(prompt_len):
+        tok = jnp.full((BB,), prompt[p], jnp.int32)
+        logits, cache = decode_step_fn(tok, jnp.asarray(p, jnp.int32), cache)
+
+    min_steps = int(config.min_decode_ratio * S)
+
+    alive_tokens = jnp.zeros((B, beam, max_steps), jnp.int32)
+    alive_scores = jnp.tile(
+        jnp.where(jnp.arange(beam) == 0, 0.0, NEG_INF)[None, :], (B, 1)
+    ).astype(jnp.float32)
+    fin_tokens = jnp.zeros((B, beam, max_steps), jnp.int32)
+    fin_scores = jnp.full((B, beam), NEG_INF, jnp.float32)
+    fin_lengths = jnp.zeros((B, beam), jnp.int32)
+
+    def step(carry, t):
+        (alive_tokens, alive_scores, fin_tokens, fin_scores, fin_lengths,
+         cache, logits) = carry
+
+        logp = jax.nn.log_softmax(
+            logits.astype(jnp.float32) / config.temperature, axis=-1
+        ).reshape(B, beam, -1)
+        V = logp.shape[-1]
+
+        eos_col = logp[:, :, config.eos_index]
+        if config.using_eos_threshold:
+            eos_ok = eos_col > config.eos_threshold * jnp.max(logp, axis=-1)
+            eos_col = jnp.where(eos_ok, eos_col, NEG_INF)
+        eos_col = jnp.where(t >= min_steps, eos_col, NEG_INF)
+
+        cum = alive_scores[:, :, None] + logp  # (B, beam, V)
+
+        # ---- finished candidates: current beams + eos ----
+        eos_scores = alive_scores + eos_col  # (B, beam)
+        hyp_len = jnp.maximum(t, 1).astype(jnp.float32)
+        eos_sel = (
+            eos_scores / hyp_len if config.length_normalization else eos_scores
+        )
+        all_fin_scores = jnp.concatenate([fin_scores, eos_sel], axis=1)
+        all_fin_tokens = jnp.concatenate([fin_tokens, alive_tokens], axis=1)
+        all_fin_lengths = jnp.concatenate(
+            [fin_lengths, jnp.full((B, beam), t, jnp.int32)], axis=1
+        )
+        fin_scores, fin_idx = jax.lax.top_k(all_fin_scores, beam)
+        fin_tokens = jnp.take_along_axis(
+            all_fin_tokens, fin_idx[:, :, None], axis=1
+        )
+        fin_lengths = jnp.take_along_axis(all_fin_lengths, fin_idx, axis=1)
+
+        # ---- alive continuations: mask eos, top-k over beam*V ----
+        cont = cum.at[:, :, config.eos_index].set(NEG_INF)
+        cont_sel = cont / (t + 1.0) if config.length_normalization else cont
+        _, flat_idx = jax.lax.top_k(cont_sel.reshape(B, beam * V), beam)
+        parent = flat_idx // V
+        new_tok = (flat_idx % V).astype(jnp.int32)
+        new_scores = jnp.take_along_axis(
+            cont.reshape(B, beam * V), flat_idx, axis=1
+        )
+
+        alive_tokens = jnp.take_along_axis(
+            alive_tokens, parent[:, :, None], axis=1
+        )
+        alive_tokens = jax.lax.dynamic_update_index_in_dim(
+            alive_tokens.transpose(2, 0, 1), new_tok, t, axis=0
+        ).transpose(1, 2, 0)
+        alive_scores = new_scores
+
+        flat_parent = (jnp.arange(B)[:, None] * beam + parent).reshape(-1)
+        cache = cache_gather_fn(cache, flat_parent)
+        logits, cache = decode_step_fn(
+            new_tok.reshape(BB), (prompt_len + t).astype(jnp.int32), cache
+        )
+        return (
+            alive_tokens, alive_scores, fin_tokens, fin_scores, fin_lengths,
+            cache, logits,
+        ), None
+
+    carry = (alive_tokens, alive_scores, fin_tokens, fin_scores, fin_lengths,
+             cache, logits)
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(max_steps))
+    (alive_tokens, alive_scores, fin_tokens, fin_scores, fin_lengths,
+     *_rest) = carry
+
+    # ---- fallback: hyps that never emitted eos compete at full length ----
+    alive_sel = (
+        alive_scores / float(max_steps)
+        if config.length_normalization
+        else alive_scores
+    )
+    all_scores = jnp.concatenate([fin_scores, alive_sel], axis=1)
+    all_tokens = jnp.concatenate([fin_tokens, alive_tokens], axis=1)
+    all_lengths = jnp.concatenate(
+        [fin_lengths, jnp.full((B, beam), max_steps, jnp.int32)], axis=1
+    )
+    best = jnp.argmax(all_scores, axis=1)
+    tokens = jnp.take_along_axis(all_tokens, best[:, None, None], axis=1)[:, 0]
+    lengths = jnp.take_along_axis(all_lengths, best[:, None], axis=1)[:, 0]
+    scores = jnp.take_along_axis(all_scores, best[:, None], axis=1)[:, 0]
+    return tokens, lengths, scores
+
+
+def greedy_search(decode_step_fn, init_cache_fn, enc_out, prompt,
+                  max_steps: int, eos_index: int = 2,
+                  temperature: float = 1.0,
+                  cache_gather_fn: Callable = default_cache_gather):
+    """Greedy decode (beam 1, no thresholds) — the PR1 validation path."""
+    cfg = BeamSearchConfig(
+        beam_size=1, eos_index=eos_index, temperature=temperature
+    )
+    return beam_search(
+        decode_step_fn, init_cache_fn, enc_out, prompt, max_steps, cfg,
+        cache_gather_fn,
+    )
+
+
+class MultiTaskBeamSearch:
+    """YAML-facing searcher (reference ``S2SMultiTaskTransformerBeamSearch``).
+
+    Holds decode config + module definitions from YAML; parameters are bound
+    once by the trainer (``bind``), building the jit-stable step closures.
+    The reference's mutable language-switch API
+    (``set_decoder_prefix_tokens``) is preserved — the prompt is runtime
+    data, so ASR↔ST switching reuses the compiled kernel.
+    """
+
+    def __init__(
+        self,
+        modules: List[Any],
+        bos_index: int = 1,
+        eos_index: int = 2,
+        blank_index: int = 0,
+        min_decode_ratio: float = 0.0,
+        max_decode_ratio: float = 1.0,
+        beam_size: int = 5,
+        using_eos_threshold: bool = False,
+        eos_threshold: float = 1.5,
+        length_normalization: bool = False,
+        temperature: float = 1.0,
+        lm_weight: float = 0.0,
+        temperature_lm: float = 0.0,
+        ctc_weight: float = 0.0,
+        source_lang: int = -100,
+        target_lang: int = -100,
+        mask_encoder_padding: bool = False,
+        **unused,
+    ):
+        self.model_def = modules[0]
+        self.seq_lin_def = modules[1] if len(modules) > 1 else None
+        self.ctc_lin_def = modules[2] if len(modules) > 2 else None
+        self.config = BeamSearchConfig(
+            beam_size=int(beam_size),
+            bos_index=int(bos_index),
+            eos_index=int(eos_index),
+            min_decode_ratio=float(min_decode_ratio),
+            max_decode_ratio=float(max_decode_ratio),
+            using_eos_threshold=bool(using_eos_threshold),
+            eos_threshold=float(eos_threshold),
+            length_normalization=bool(length_normalization),
+            temperature=float(temperature),
+        )
+        self.mask_encoder_padding = bool(mask_encoder_padding)
+        self.bos_token = int(bos_index)
+        self.source_lang = int(source_lang)
+        self.target_lang = int(target_lang)
+        self.decoder_input_tokens: Optional[List[int]] = None
+        self._decode_step_fn: Optional[Callable] = None
+        self._init_cache_fn: Optional[Callable] = None
+
+    # ---- reference-mutable prompt API ----------------------------------
+    def set_source_language(self, source_lang: int) -> None:
+        self.source_lang = int(source_lang)
+
+    def set_target_language(self, target_lang: int) -> None:
+        self.target_lang = int(target_lang)
+
+    def set_decoder_prefix_tokens(self, source_lang: int, target_lang: int):
+        self.set_source_language(source_lang)
+        self.set_target_language(target_lang)
+        self.decoder_input_tokens = [
+            self.bos_token, self.source_lang, self.target_lang,
+        ]
+
+    # ---- parameter binding (once; keeps jit keys stable) ----------------
+    def bind(self, transformer_params, seq_lin_params) -> None:
+        model_def = self.model_def
+        seq_def = self.seq_lin_def
+        t_params = transformer_params
+        s_params = seq_lin_params
+
+        def init_cache_fn(enc_tiled, max_len):
+            return model_def.apply(
+                t_params, enc_tiled, max_len,
+                method=model_def.init_decode_cache,
+            )
+
+        def decode_step_fn(tokens, position, cache):
+            hidden, cache = model_def.apply(
+                t_params, tokens, position, cache,
+                method=model_def.decode_step,
+            )
+            return seq_def.apply(s_params, hidden), cache
+
+        def cache_gather_fn(cache, flat_parent):
+            new_layers = []
+            for layer in cache["layers"]:
+                self_c = layer["self"]
+                new_layers.append({
+                    **layer,
+                    "self": {
+                        "k": jnp.take(self_c["k"], flat_parent, axis=0),
+                        "v": jnp.take(self_c["v"], flat_parent, axis=0),
+                        "index": self_c["index"],
+                    },
+                })
+            return {**cache, "layers": new_layers}
+
+        self._decode_step_fn = decode_step_fn
+        self._init_cache_fn = init_cache_fn
+        self._cache_gather_fn = cache_gather_fn
+
+    # ---- call surface ---------------------------------------------------
+    def __call__(self, enc_out, wav_lens=None):
+        """enc_out: (B, S, d); returns (hyps list-of-id-lists, scores np)."""
+        if self.decoder_input_tokens is None:
+            raise RuntimeError(
+                "call set_decoder_prefix_tokens(src, tgt) first "
+                "(reference initialize_beam_search, dataio_and_utils.py:234)"
+            )
+        if self._decode_step_fn is None:
+            raise RuntimeError("searcher not bound to parameters (bind())")
+        enc_out = jnp.asarray(enc_out)
+        S = enc_out.shape[1]
+        max_steps = max(int(self.config.max_decode_ratio * S), 1)
+        prompt = jnp.asarray(self.decoder_input_tokens, jnp.int32)
+        tokens, lengths, scores = beam_search(
+            self._decode_step_fn, self._init_cache_fn, enc_out, prompt,
+            max_steps, self.config, self._cache_gather_fn,
+        )
+        tokens = np.asarray(tokens)
+        lengths = np.asarray(lengths)
+        hyps = [
+            list(map(int, tokens[b, : lengths[b]]))
+            for b in range(tokens.shape[0])
+        ]
+        return hyps, np.asarray(scores)

@@ -1,0 +1,237 @@
+"""TransformerMultiTask: the joint ASR+ST encoder-decoder (flax).
+
+TPU-native rebuild of the reference model
+(``stac-st/modules/TransformerMultiTask.py:24-314``): Linear source
+projection + dropout, NormalizedEmbedding targets, fixed sinusoidal
+positional encodings, pre-LN Transformer encoder/decoder, with separate
+``encode`` / ``decode`` / KV-cached ``decode_step`` paths. Mask semantics
+follow the reference exactly (round-based padding in forward, floor-based in
+encode — ``TransformerMultiTask.py:223-232`` vs ``:289-294``).
+
+The YAML-facing classes here (``TransformerMultiTask``, ``LinearHead``,
+``ModuleGroup``, ``EncoderWrapper``) are what the registry redirects the
+reference hparams onto (``transformer_multitask.yaml:183-220``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import masks as M
+from .positional import sinusoidal_table
+from .transformer import (
+    NormalizedEmbedding,
+    TransformerDecoder,
+    TransformerEncoder,
+)
+
+__all__ = ["TransformerMultiTask", "LinearHead", "ModuleGroup",
+           "EncoderWrapper"]
+
+_glorot = nn.initializers.glorot_normal()
+
+
+def _as_callable(activation: Any) -> Callable:
+    if activation is None:
+        return jax.nn.gelu
+    act = activation() if isinstance(activation, type) else activation
+    return act if callable(act) else jax.nn.gelu
+
+
+class TransformerMultiTask(nn.Module):
+    """Encoder-decoder over conv features; task selected by decoder prompt."""
+
+    tgt_vocab: int
+    input_size: int
+    d_model: int = 512
+    nhead: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    d_ffn: int = 2048
+    dropout: float = 0.1
+    activation: Any = None
+    positional_encoding: str = "fixed_abs_sine"
+    normalize_before: bool = False
+    kernel_size: int = 31
+    bias: bool = True
+    encoder_module: str = "transformer"
+    conformer_activation: Any = None
+    attention_type: str = "regularMHA"
+    max_length: int = 2500
+    causal: bool = False
+
+    def setup(self):
+        if self.attention_type != "regularMHA":
+            raise NotImplementedError(
+                f"attention_type={self.attention_type!r}: regularMHA is the "
+                "reference default (yaml:169); RelPosMHAXL not yet ported"
+            )
+        if self.encoder_module != "transformer":
+            raise NotImplementedError(
+                f"encoder_module={self.encoder_module!r} not yet ported"
+            )
+        act = _as_callable(self.activation)
+        self.src_proj = nn.Dense(
+            self.d_model, kernel_init=_glorot, name="src_proj"
+        )
+        self.src_drop = nn.Dropout(rate=self.dropout)
+        self.tgt_embed = NormalizedEmbedding(
+            self.d_model, self.tgt_vocab, name="tgt_embed"
+        )
+        self.encoder = TransformerEncoder(
+            self.num_encoder_layers, self.d_model, self.nhead, self.d_ffn,
+            self.dropout, act, self.normalize_before, name="encoder",
+        )
+        self.decoder = TransformerDecoder(
+            self.num_decoder_layers, self.d_model, self.nhead, self.d_ffn,
+            self.dropout, act, self.normalize_before, name="decoder",
+        )
+        self.pe = jnp.asarray(sinusoidal_table(self.max_length, self.d_model))
+
+    # ------------------------------------------------------------- helpers
+    @staticmethod
+    def _flatten_src(src):
+        if src.ndim == 4:
+            b, t, c1, c2 = src.shape
+            src = src.reshape(b, t, c1 * c2)
+        return src
+
+    def _add_pe(self, x):
+        return x + self.pe[None, : x.shape[1], :].astype(x.dtype)
+
+    # ------------------------------------------------------------- forward
+    def __call__(self, src, tgt, wav_len=None, pad_idx: int = 0,
+                 deterministic: bool = True):
+        """Teacher-forced training forward -> (encoder_out, decoder_out)."""
+        src = self._flatten_src(src)
+        S = src.shape[1]
+        T = tgt.shape[1]
+
+        src_bias = None
+        if wav_len is not None:
+            src_pad = M.src_key_padding_mask(wav_len, S)  # (B, S)
+            src_bias = M.additive_bias(src_pad[:, None, None, :])
+
+        tgt_pad = M.tgt_key_padding_mask(tgt, pad_idx)  # (B, T)
+        self_bias = M.additive_bias(
+            M.lookahead_mask(T)[None, None, :, :]
+            | tgt_pad[:, None, None, :]
+        )
+
+        h = self.src_drop(self.src_proj(src), deterministic=deterministic)
+        h = self._add_pe(h)
+        enc_out = self.encoder(h, src_bias, deterministic)
+
+        d = self._add_pe(self.tgt_embed(tgt))
+        dec_out, _ = self.decoder(
+            d, enc_out, self_bias, src_bias, deterministic
+        )
+        return enc_out, dec_out
+
+    # -------------------------------------------------------------- encode
+    def encode(self, src, wav_len=None, deterministic: bool = True):
+        """Inference encoder pass (reference ``encode``, floor-based mask)."""
+        src = self._flatten_src(src)
+        S = src.shape[1]
+        src_bias = None
+        if wav_len is not None:
+            src_pad = M.src_key_padding_mask_encode(wav_len, S)
+            src_bias = M.additive_bias(src_pad[:, None, None, :])
+        h = self.src_drop(self.src_proj(src), deterministic=deterministic)
+        h = self._add_pe(h)
+        return self.encoder(h, src_bias, deterministic)
+
+    # ------------------------------------------------- full-prefix decode
+    def decode(self, tgt, encoder_out, enc_len=None):
+        """Oracle full-prefix decode (reference ``decode``; no KV cache).
+
+        enc_len: absolute encoder lengths (reference passes None in the
+        shipped beam search — ``mutitask_decoder.py:126``).
+        """
+        T = tgt.shape[1]
+        self_bias = M.additive_bias(M.lookahead_mask(T)[None, None, :, :])
+        cross_bias = None
+        if enc_len is not None:
+            S = encoder_out.shape[1]
+            pad = jnp.arange(S)[None, :] >= enc_len[:, None]
+            cross_bias = M.additive_bias(pad[:, None, None, :])
+        d = self._add_pe(self.tgt_embed(tgt))
+        out, attn = self.decoder(d, encoder_out, self_bias, cross_bias, True)
+        return out, attn
+
+    # --------------------------------------------------- KV-cached decode
+    def init_decode_cache(self, encoder_out, max_len: int,
+                          enc_mask_bias=None):
+        """Build the functional decode cache for a (B, S, d) encoder output."""
+        B = encoder_out.shape[0]
+        caches = self.decoder.init_cache(
+            B, max_len, encoder_out, dtype=encoder_out.dtype
+        )
+        return {"layers": caches, "enc_bias": enc_mask_bias}
+
+    def decode_step(self, tokens, positions, cache):
+        """One decode step.
+
+        tokens: (B,) int32 current input tokens;
+        positions: () or (B,) int32 position index (for the PE lookup);
+        cache: from init_decode_cache. Returns ((B, d) hidden, new cache).
+        """
+        emb = self.tgt_embed(tokens[:, None])  # (B, 1, d)
+        pos = jnp.asarray(positions)
+        pe = jax.lax.dynamic_slice_in_dim(
+            self.pe, jnp.reshape(pos, ()), 1, axis=0
+        )  # (1, d) — scalar position (shared across batch)
+        emb = emb + pe[None, :, :].astype(emb.dtype)
+        out, new_layers = self.decoder.step(
+            emb, cache["layers"], cache["enc_bias"]
+        )
+        return out[:, 0, :], {**cache, "layers": new_layers}
+
+
+class LinearHead(nn.Module):
+    """Output projection head (reference ``speechbrain.nnet.linear.Linear``,
+    yaml:199-206 — seq_lin / ctc_lin)."""
+
+    input_size: int
+    n_neurons: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(
+            self.n_neurons, use_bias=self.bias, kernel_init=_glorot,
+            name="linear",
+        )(x)
+
+
+class ModuleGroup:
+    """Stand-in for ``torch.nn.ModuleList`` groupings in YAML (yaml:219-220).
+
+    Purely organizational: parameters live in the train state; this records
+    which YAML-level modules form the checkpointed "model" recoverable.
+    """
+
+    def __init__(self, modules: Sequence[Any]):
+        self.modules = list(modules)
+
+    def __iter__(self):
+        return iter(self.modules)
+
+    def __len__(self):
+        return len(self.modules)
+
+
+class EncoderWrapper:
+    """Reference ``EncoderWrapper``: forward == encode (TransformerMultiTask.py:317-349)."""
+
+    def __init__(self, transformer: TransformerMultiTask, *a, **k):
+        self.transformer = transformer
+
+    def __call__(self, params, x, wav_lens=None):
+        return self.transformer.apply(
+            params, x, wav_lens, method=TransformerMultiTask.encode
+        )

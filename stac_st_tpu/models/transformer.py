@@ -1,0 +1,337 @@
+"""Pre-LN Transformer encoder/decoder with KV-cached decoding (flax).
+
+TPU-native re-design of the reference's SpeechBrain TransformerInterface
+stack (``TransformerMultiTask.py:111-128``; pre-LN ``normalize_before: True``,
+GELU, regularMHA, fixed sinusoidal PE, NormalizedEmbedding — yaml:183-196):
+
+* attention is one fused einsum pair per layer (MXU), with additive mask
+  biases (no boolean select chains);
+* the decoder has two execution modes sharing the same parameters:
+  teacher-forced full-sequence (training) and single-step with an explicit
+  functional KV cache (inference) — the cache is a pytree argument/return,
+  so beam search can reorder it with a gather (see
+  :mod:`stac_st_tpu.decoding.beam_search`). The reference instead re-decodes
+  the full prefix each step (``mutitask_decoder.py:119-128``, O(L²) per
+  utterance) — replacing that is the headline inference-perf lever;
+* dropout is an explicit ``deterministic`` flag + rng, everything is pure.
+
+Weight init mirrors the reference's ``_init_params`` (xavier_normal on all
+>1-dim params, ``TransformerMultiTask.py:311-314``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .positional import sinusoidal_table
+
+__all__ = [
+    "NormalizedEmbedding",
+    "MultiHeadAttention",
+    "FeedForward",
+    "EncoderLayer",
+    "DecoderLayer",
+    "TransformerEncoder",
+    "TransformerDecoder",
+]
+
+_glorot = nn.initializers.glorot_normal()
+
+
+def _dense(features: int, name: str | None = None) -> nn.Dense:
+    return nn.Dense(features, kernel_init=_glorot, name=name)
+
+
+class NormalizedEmbedding(nn.Module):
+    """Embedding scaled by sqrt(d_model) (SB NormalizedEmbedding)."""
+
+    d_model: int
+    vocab: int
+
+    @nn.compact
+    def __call__(self, tokens):
+        emb = nn.Embed(
+            self.vocab, self.d_model, embedding_init=_glorot, name="embed"
+        )(tokens)
+        return emb * jnp.sqrt(jnp.asarray(self.d_model, emb.dtype))
+
+
+class MultiHeadAttention(nn.Module):
+    """Dot-product MHA with optional functional KV cache.
+
+    Cache layout (per call site): {"k": (B, S, H, Dh), "v": (B, S, H, Dh),
+    "index": ()} — appended in-place via dynamic_update_slice.
+    """
+
+    d_model: int
+    nhead: int
+    dropout: float = 0.0
+
+    def setup(self):
+        assert self.d_model % self.nhead == 0
+        self.head_dim = self.d_model // self.nhead
+        self.q_proj = _dense(self.d_model, name="q_proj")
+        self.k_proj = _dense(self.d_model, name="k_proj")
+        self.v_proj = _dense(self.d_model, name="v_proj")
+        self.out_proj = _dense(self.d_model, name="out_proj")
+
+    def _split(self, x):
+        B, T, _ = x.shape
+        return x.reshape(B, T, self.nhead, self.head_dim)
+
+    def _attend(self, q, k, v, bias, deterministic):
+        # q: (B, Tq, H, Dh); k/v: (B, Tk, H, Dh); bias: broadcastable to
+        # (B, H, Tq, Tk) additive.
+        scale = 1.0 / jnp.sqrt(jnp.asarray(self.head_dim, jnp.float32))
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if bias is not None:
+            logits = logits + bias
+        weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        if self.dropout > 0.0 and not deterministic:
+            weights = nn.Dropout(rate=self.dropout, deterministic=False)(
+                weights, rng=self.make_rng("dropout")
+            )
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32
+        ).astype(q.dtype)
+        B, Tq = out.shape[:2]
+        return self.out_proj(out.reshape(B, Tq, self.d_model)), weights
+
+    def __call__(self, query, key, value, bias=None, deterministic=True):
+        q = self._split(self.q_proj(query))
+        k = self._split(self.k_proj(key))
+        v = self._split(self.v_proj(value))
+        return self._attend(q, k, v, bias, deterministic)
+
+    def project_kv(self, key_value):
+        """Precompute K/V (used for cross-attention caches)."""
+        return (
+            self._split(self.k_proj(key_value)),
+            self._split(self.v_proj(key_value)),
+        )
+
+    def step(self, query, cache: Dict[str, Any], bias=None):
+        """Single decode step: query (B, 1, d); appends K/V to the cache."""
+        q = self._split(self.q_proj(query))
+        k_new = self._split(self.k_proj(query))
+        v_new = self._split(self.v_proj(query))
+        idx = cache["index"]
+        k = jax.lax.dynamic_update_slice(
+            cache["k"], k_new.astype(cache["k"].dtype), (0, idx, 0, 0)
+        )
+        v = jax.lax.dynamic_update_slice(
+            cache["v"], v_new.astype(cache["v"].dtype), (0, idx, 0, 0)
+        )
+        S = k.shape[1]
+        # causal-by-construction: mask positions beyond the write index
+        pos_bias = jnp.where(
+            jnp.arange(S)[None, None, None, :] > idx, -1e9, 0.0
+        )
+        if bias is not None:
+            pos_bias = pos_bias + bias
+        out, _ = self._attend(q, k, v, pos_bias, deterministic=True)
+        return out, {"k": k, "v": v, "index": idx + 1}
+
+    def step_cross(self, query, k, v, bias=None):
+        q = self._split(self.q_proj(query))
+        out, _ = self._attend(q, k, v, bias, deterministic=True)
+        return out
+
+
+class FeedForward(nn.Module):
+    d_model: int
+    d_ffn: int
+    dropout: float = 0.0
+    activation: Callable = jax.nn.gelu
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        h = _dense(self.d_ffn, name="fc1")(x)
+        h = self.activation(h)
+        h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+        return _dense(self.d_model, name="fc2")(h)
+
+
+class EncoderLayer(nn.Module):
+    d_model: int
+    nhead: int
+    d_ffn: int
+    dropout: float = 0.1
+    activation: Callable = jax.nn.gelu
+    normalize_before: bool = True
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(
+            self.d_model, self.nhead, self.dropout, name="self_attn"
+        )
+        self.ffn = FeedForward(
+            self.d_model, self.d_ffn, self.dropout, self.activation, name="ffn"
+        )
+        self.norm1 = nn.LayerNorm(name="norm1")
+        self.norm2 = nn.LayerNorm(name="norm2")
+        self.drop = nn.Dropout(rate=self.dropout)
+
+    def __call__(self, x, bias=None, deterministic=True):
+        if self.normalize_before:
+            h = self.norm1(x)
+            h, _ = self.self_attn(h, h, h, bias, deterministic)
+            x = x + self.drop(h, deterministic=deterministic)
+            h = self.ffn(self.norm2(x), deterministic)
+            x = x + self.drop(h, deterministic=deterministic)
+        else:
+            h, _ = self.self_attn(x, x, x, bias, deterministic)
+            x = self.norm1(x + self.drop(h, deterministic=deterministic))
+            h = self.ffn(x, deterministic)
+            x = self.norm2(x + self.drop(h, deterministic=deterministic))
+        return x
+
+
+class DecoderLayer(nn.Module):
+    d_model: int
+    nhead: int
+    d_ffn: int
+    dropout: float = 0.1
+    activation: Callable = jax.nn.gelu
+    normalize_before: bool = True
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(
+            self.d_model, self.nhead, self.dropout, name="self_attn"
+        )
+        self.cross_attn = MultiHeadAttention(
+            self.d_model, self.nhead, self.dropout, name="cross_attn"
+        )
+        self.ffn = FeedForward(
+            self.d_model, self.d_ffn, self.dropout, self.activation, name="ffn"
+        )
+        self.norm1 = nn.LayerNorm(name="norm1")
+        self.norm2 = nn.LayerNorm(name="norm2")
+        self.norm3 = nn.LayerNorm(name="norm3")
+        self.drop = nn.Dropout(rate=self.dropout)
+
+    def __call__(self, x, memory, self_bias=None, cross_bias=None,
+                 deterministic=True):
+        if self.normalize_before:
+            h = self.norm1(x)
+            h, _ = self.self_attn(h, h, h, self_bias, deterministic)
+            x = x + self.drop(h, deterministic=deterministic)
+            h = self.norm2(x)
+            h, attn = self.cross_attn(h, memory, memory, cross_bias,
+                                      deterministic)
+            x = x + self.drop(h, deterministic=deterministic)
+            h = self.ffn(self.norm3(x), deterministic)
+            x = x + self.drop(h, deterministic=deterministic)
+        else:
+            h, _ = self.self_attn(x, x, x, self_bias, deterministic)
+            x = self.norm1(x + self.drop(h, deterministic=deterministic))
+            h, attn = self.cross_attn(x, memory, memory, cross_bias,
+                                      deterministic)
+            x = self.norm2(x + self.drop(h, deterministic=deterministic))
+            h = self.ffn(x, deterministic)
+            x = self.norm3(x + self.drop(h, deterministic=deterministic))
+        return x, attn
+
+    # ---- KV-cached single-step mode ------------------------------------
+    def init_cache(self, batch: int, max_len: int, memory, dtype=jnp.float32):
+        head_dim = self.d_model // self.nhead
+        k_cross, v_cross = self.cross_attn.project_kv(memory)
+        return {
+            "self": {
+                "k": jnp.zeros((batch, max_len, self.nhead, head_dim), dtype),
+                "v": jnp.zeros((batch, max_len, self.nhead, head_dim), dtype),
+                "index": jnp.zeros((), jnp.int32),
+            },
+            "cross_k": k_cross,
+            "cross_v": v_cross,
+        }
+
+    def step(self, x, cache, cross_bias=None):
+        h = self.norm1(x) if self.normalize_before else x
+        h, self_cache = self.self_attn.step(h, cache["self"])
+        if self.normalize_before:
+            x = x + h
+            h = self.cross_attn.step_cross(
+                self.norm2(x), cache["cross_k"], cache["cross_v"], cross_bias
+            )
+            x = x + h
+            x = x + self.ffn(self.norm3(x), deterministic=True)
+        else:
+            x = self.norm1(x + h)
+            h = self.cross_attn.step_cross(
+                x, cache["cross_k"], cache["cross_v"], cross_bias
+            )
+            x = self.norm2(x + h)
+            x = self.norm3(x + self.ffn(x, deterministic=True))
+        return x, {**cache, "self": self_cache}
+
+
+class TransformerEncoder(nn.Module):
+    num_layers: int
+    d_model: int
+    nhead: int
+    d_ffn: int
+    dropout: float = 0.1
+    activation: Callable = jax.nn.gelu
+    normalize_before: bool = True
+
+    def setup(self):
+        self.layers = [
+            EncoderLayer(
+                self.d_model, self.nhead, self.d_ffn, self.dropout,
+                self.activation, self.normalize_before, name=f"layer_{i}"
+            )
+            for i in range(self.num_layers)
+        ]
+        self.final_norm = nn.LayerNorm(name="final_norm")
+
+    def __call__(self, x, bias=None, deterministic=True):
+        for layer in self.layers:
+            x = layer(x, bias, deterministic)
+        return self.final_norm(x)
+
+
+class TransformerDecoder(nn.Module):
+    num_layers: int
+    d_model: int
+    nhead: int
+    d_ffn: int
+    dropout: float = 0.1
+    activation: Callable = jax.nn.gelu
+    normalize_before: bool = True
+
+    def setup(self):
+        self.layers = [
+            DecoderLayer(
+                self.d_model, self.nhead, self.d_ffn, self.dropout,
+                self.activation, self.normalize_before, name=f"layer_{i}"
+            )
+            for i in range(self.num_layers)
+        ]
+        self.final_norm = nn.LayerNorm(name="final_norm")
+
+    def __call__(self, x, memory, self_bias=None, cross_bias=None,
+                 deterministic=True):
+        attn = None
+        for layer in self.layers:
+            x, attn = layer(x, memory, self_bias, cross_bias, deterministic)
+        return self.final_norm(x), attn
+
+    def init_cache(self, batch: int, max_len: int, memory,
+                   dtype=jnp.float32):
+        return [
+            layer.init_cache(batch, max_len, memory, dtype)
+            for layer in self.layers
+        ]
+
+    def step(self, x, caches, cross_bias=None):
+        new_caches = []
+        for layer, cache in zip(self.layers, caches):
+            x, cache = layer.step(x, cache, cross_bias)
+            new_caches.append(cache)
+        return self.final_norm(x), new_caches

@@ -1,0 +1,109 @@
+"""Batch loader: sampler indices → collated static-shape batches, prefetched.
+
+The reference leans on torch DataLoader workers (``num_workers: 32``,
+yaml:74) for audio decode + speed perturb. Here a background thread pipeline
+overlaps host-side decode/collate with device compute (the TPU analogue:
+the device never waits on the host for the next bucket batch). Decode can be
+delegated to the native C++ loader when built.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .dataset import PaddedBatch, SpeechDataset, collate_batch
+from .sampler import DynamicBatchSampler
+
+__all__ = ["BatchLoader"]
+
+_SENTINEL = object()
+
+
+class BatchLoader:
+    def __init__(
+        self,
+        dataset: SpeechDataset,
+        sampler: Optional[DynamicBatchSampler] = None,
+        batch_size: int = 4,
+        sample_rate: int = 16000,
+        token_pad_multiple: int = 32,
+        prefetch: int = 2,
+        drop_last: bool = False,
+        shuffle: bool = False,
+        seed: int = 8886,
+    ):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = int(batch_size)
+        self.sample_rate = int(sample_rate)
+        self.token_pad_multiple = int(token_pad_multiple)
+        self.prefetch = int(prefetch)
+        self.drop_last = bool(drop_last)
+        self.shuffle = bool(shuffle)
+        self.seed = int(seed)
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
+        if self.sampler is not None:
+            self.sampler.set_epoch(epoch)
+
+    def _index_batches(self):
+        if self.sampler is not None:
+            yield from self.sampler
+            return
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        for i in range(0, len(order), self.batch_size):
+            chunk = list(map(int, order[i : i + self.batch_size]))
+            if self.drop_last and len(chunk) < self.batch_size:
+                continue
+            yield chunk
+
+    def _make_batch(self, indices) -> PaddedBatch:
+        samples = [self.dataset[i] for i in indices]
+        width = None
+        if self.sampler is not None:
+            spec = self.sampler.bucket_of(indices[0])
+            width = int(np.ceil(spec.boundary * self.sample_rate))
+        return collate_batch(
+            samples,
+            audio_pad_samples=width,
+            token_pad_multiple=self.token_pad_multiple,
+        )
+
+    def __iter__(self) -> Iterator[PaddedBatch]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        error_holder = []
+
+        def producer():
+            try:
+                for indices in self._index_batches():
+                    q.put(self._make_batch(indices))
+            except BaseException as exc:  # propagate to consumer
+                error_holder.append(exc)
+            finally:
+                q.put(_SENTINEL)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if error_holder:
+                    raise error_holder[0]
+                return
+            yield item
+
+    def __len__(self) -> int:
+        if self.sampler is not None:
+            return len(self.sampler)
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)

@@ -80,6 +80,7 @@ def default_cache_gather(cache, flat_parent):
 def beam_search(
     decode_step_fn: Callable,
     init_cache_fn: Callable,
+    params: Any,
     enc_out: jax.Array,
     prompt: jax.Array,
     max_steps: int,
@@ -89,9 +90,12 @@ def beam_search(
     """Run beam search.
 
     Args:
-      decode_step_fn: (tokens (BB,), position (), cache) ->
-        (raw logits (BB, V), new cache).
-      init_cache_fn: (enc_out_tiled (BB, S, d), max_len) -> cache pytree.
+      decode_step_fn: (params, tokens (BB,), position (), cache) ->
+        (raw logits (BB, V), new cache). Params are threaded explicitly so
+        the jit cache stays valid as training updates them (no
+        closure-captured constants).
+      init_cache_fn: (params, enc_out_tiled (BB, S, d), max_len) -> cache.
+      params: dynamic parameter pytree passed to both fns.
       enc_out: (B, S, d) encoder output.
       prompt: (3,) int32 [bos, src_lang, tgt_lang] (any length ≥ 1).
       max_steps: static decode-step budget.
@@ -108,13 +112,15 @@ def beam_search(
 
     enc_tiled = jnp.repeat(enc_out, beam, axis=0)
     prompt_len = prompt.shape[0]
-    cache = init_cache_fn(enc_tiled, prompt_len + max_steps)
+    cache = init_cache_fn(params, enc_tiled, prompt_len + max_steps)
 
     # --- warmup: feed the prompt through the cache ---
     logits = None
     for p in range(prompt_len):
         tok = jnp.full((BB,), prompt[p], jnp.int32)
-        logits, cache = decode_step_fn(tok, jnp.asarray(p, jnp.int32), cache)
+        logits, cache = decode_step_fn(
+            params, tok, jnp.asarray(p, jnp.int32), cache
+        )
 
     min_steps = int(config.min_decode_ratio * S)
 
@@ -181,7 +187,8 @@ def beam_search(
         flat_parent = (jnp.arange(B)[:, None] * beam + parent).reshape(-1)
         cache = cache_gather_fn(cache, flat_parent)
         logits, cache = decode_step_fn(
-            new_tok.reshape(BB), (prompt_len + t).astype(jnp.int32), cache
+            params, new_tok.reshape(BB), (prompt_len + t).astype(jnp.int32),
+            cache,
         )
         return (
             alive_tokens, alive_scores, fin_tokens, fin_scores, fin_lengths,
@@ -212,7 +219,7 @@ def beam_search(
     return tokens, lengths, scores
 
 
-def greedy_search(decode_step_fn, init_cache_fn, enc_out, prompt,
+def greedy_search(decode_step_fn, init_cache_fn, params, enc_out, prompt,
                   max_steps: int, eos_index: int = 2,
                   temperature: float = 1.0,
                   cache_gather_fn: Callable = default_cache_gather):
@@ -221,8 +228,8 @@ def greedy_search(decode_step_fn, init_cache_fn, enc_out, prompt,
         beam_size=1, eos_index=eos_index, temperature=temperature
     )
     return beam_search(
-        decode_step_fn, init_cache_fn, enc_out, prompt, max_steps, cfg,
-        cache_gather_fn,
+        decode_step_fn, init_cache_fn, params, enc_out, prompt, max_steps,
+        cfg, cache_gather_fn,
     )
 
 
@@ -276,8 +283,10 @@ class MultiTaskBeamSearch:
         self.source_lang = int(source_lang)
         self.target_lang = int(target_lang)
         self.decoder_input_tokens: Optional[List[int]] = None
+        self._params: Optional[Dict[str, Any]] = None
         self._decode_step_fn: Optional[Callable] = None
         self._init_cache_fn: Optional[Callable] = None
+        self._cache_gather_fn: Optional[Callable] = None
 
     # ---- reference-mutable prompt API ----------------------------------
     def set_source_language(self, source_lang: int) -> None:
@@ -293,25 +302,29 @@ class MultiTaskBeamSearch:
             self.bos_token, self.source_lang, self.target_lang,
         ]
 
-    # ---- parameter binding (once; keeps jit keys stable) ----------------
+    # ---- parameter binding ----------------------------------------------
+    # The step closures are built ONCE (stable jit keys); parameters are a
+    # dynamic argument threaded through beam_search, so training updates
+    # never stale the compiled kernels.
     def bind(self, transformer_params, seq_lin_params) -> None:
+        self._params = {"t": transformer_params, "s": seq_lin_params}
+        if self._decode_step_fn is not None:
+            return
         model_def = self.model_def
         seq_def = self.seq_lin_def
-        t_params = transformer_params
-        s_params = seq_lin_params
 
-        def init_cache_fn(enc_tiled, max_len):
+        def init_cache_fn(params, enc_tiled, max_len):
             return model_def.apply(
-                t_params, enc_tiled, max_len,
+                params["t"], enc_tiled, max_len,
                 method=model_def.init_decode_cache,
             )
 
-        def decode_step_fn(tokens, position, cache):
+        def decode_step_fn(params, tokens, position, cache):
             hidden, cache = model_def.apply(
-                t_params, tokens, position, cache,
+                params["t"], tokens, position, cache,
                 method=model_def.decode_step,
             )
-            return seq_def.apply(s_params, hidden), cache
+            return seq_def.apply(params["s"], hidden), cache
 
         def cache_gather_fn(cache, flat_parent):
             new_layers = []
@@ -346,8 +359,8 @@ class MultiTaskBeamSearch:
         max_steps = max(int(self.config.max_decode_ratio * S), 1)
         prompt = jnp.asarray(self.decoder_input_tokens, jnp.int32)
         tokens, lengths, scores = beam_search(
-            self._decode_step_fn, self._init_cache_fn, enc_out, prompt,
-            max_steps, self.config, self._cache_gather_fn,
+            self._decode_step_fn, self._init_cache_fn, self._params, enc_out,
+            prompt, max_steps, self.config, self._cache_gather_fn,
         )
         tokens = np.asarray(tokens)
         lengths = np.asarray(lengths)

@@ -77,6 +77,7 @@ def _fbank_impl(wavs, dft_kernel, mel_matrix, n_fft, hop_length, top_db,
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # features must be fp32-exact
     )  # (B, 2*n_bins, T)
     n_bins = dft_kernel.shape[0] // 2
     re = out[:, :n_bins, :]
@@ -85,6 +86,7 @@ def _fbank_impl(wavs, dft_kernel, mel_matrix, n_fft, hop_length, top_db,
     mel = jnp.einsum(
         "bft,fm->btm", power, mel_matrix,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     if not log_mel:
         return mel

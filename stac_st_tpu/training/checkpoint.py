@@ -84,7 +84,8 @@ class Checkpointer:
     ) -> Checkpoint:
         path = self._new_dir()
         for name, tree in trees.items():
-            host_tree = jax.device_get(tree)
+            # to_state_dict flattens NamedTuple states (optax) into dicts
+            host_tree = serialization.to_state_dict(jax.device_get(tree))
             with open(os.path.join(path, f"{name}.msgpack"), "wb") as f:
                 f.write(serialization.msgpack_serialize(host_tree))
         meta = dict(meta)

@@ -1,0 +1,256 @@
+"""The compiled train/eval step (the device hot loop).
+
+TPU-native redesign of the reference's ``ST.compute_forward`` /
+``compute_objectives`` / ``fit_batch`` (``train_multitask.py:51-368``): one
+jitted function takes the train state + a static-shaped batch and returns the
+updated state + metrics. Inside:
+
+  fbank (MXU DFT-matmuls) → CMVN (epoch-gated update) → SpecAugment (train)
+  → conv frontend → transformer (teacher-forced) → CTC + label-smoothed NLL
+  → grads → optax update.
+
+Reference semantics carried over:
+* loss = ctc_weight·CTC + (1-ctc_weight)·NLL(ls=0.1) (``:172-176``);
+* gradient accumulation over *consecutive batches* via ``optax.MultiSteps``
+  (the reference's ``should_step = step % factor == 0`` — ``:319``; this
+  keeps bucket shapes free to vary between microbatches);
+* nonfinite-loss step skipping via ``optax.apply_if_finite`` with the
+  reference's patience (yaml:76);
+* max_grad_norm clipping (yaml:71), AdamW + WarmCoolDecay schedule stepped
+  per optimizer step (``:337``).
+
+SPMD: the step is written in global-batch terms; under ``jit`` with the
+batch sharded on the mesh ``data`` axis and parameters replicated, GSPMD
+inserts the gradient/CMVN all-reduces over ICI (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from ..ops.cmvn import CmvnState, cmvn_apply, cmvn_update
+from ..ops.ctc import ctc_loss
+from ..ops.losses import nll_loss
+from ..ops.specaugment import spec_augment
+
+__all__ = ["TrainState", "StepConfig", "make_train_step", "make_eval_forward",
+           "make_optimizer", "init_train_state"]
+
+
+class TrainState(NamedTuple):
+    params: Any            # {"CNN":…, "Transformer":…, "seq_lin":…, "ctc_lin":…}
+    opt_state: Any
+    cmvn: CmvnState
+    optimizer_step: jax.Array   # () int32 — applied optimizer updates
+    micro_step: jax.Array       # () int32 — fit_batch calls
+
+
+class StepConfig(NamedTuple):
+    """Static (hashable) step configuration."""
+
+    fbank: Any                 # Fbank op (hashable by id — module-level)
+    cnn: Any                   # flax module defs
+    transformer: Any
+    seq_lin: Any
+    ctc_lin: Any
+    specaug_opts: Optional[Tuple[Tuple[str, Any], ...]]
+    ctc_weight: float
+    label_smoothing: float
+    loss_reduction: str
+    pad_index: int
+    blank_index: int
+
+
+def make_optimizer(
+    opt_factory,
+    schedule_value: Callable,
+    grad_accumulation_factor: int = 1,
+    max_grad_norm: Optional[float] = None,
+    nonfinite_patience: int = 100,
+) -> optax.GradientTransformation:
+    """Build the full optax chain mirroring reference fit_batch semantics."""
+
+    def schedule(count):
+        # count = number of applied updates so far; step k runs at lr(k+1)
+        return schedule_value(count + 1)
+
+    if opt_factory.kind == "adamw":
+        core = optax.adamw(
+            learning_rate=schedule, b1=opt_factory.betas[0],
+            b2=opt_factory.betas[1], eps=opt_factory.eps,
+            weight_decay=opt_factory.weight_decay,
+        )
+    else:
+        core = optax.adam(
+            learning_rate=schedule, b1=opt_factory.betas[0],
+            b2=opt_factory.betas[1], eps=opt_factory.eps,
+        )
+    chain = [optax.clip_by_global_norm(max_grad_norm)] if max_grad_norm else []
+    tx: optax.GradientTransformation = optax.chain(*chain, core)
+    if nonfinite_patience:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=nonfinite_patience)
+    if grad_accumulation_factor > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accumulation_factor)
+    return tx
+
+
+def _forward(params, cmvn_state, batch, cfg: StepConfig, train: bool,
+             update_cmvn: bool, rng):
+    wavs, wav_lens = batch["sig"], batch["sig_len"]
+    feats = cfg.fbank(wavs)
+    if update_cmvn:
+        cmvn_state = cmvn_update(cmvn_state, feats, wav_lens)
+    feats = cmvn_apply(cmvn_state, feats)
+
+    rngs = {}
+    if train:
+        rng, k_aug, k_drop = jax.random.split(rng, 3)
+        if cfg.specaug_opts is not None:
+            feats = spec_augment(feats, k_aug, **dict(cfg.specaug_opts))
+        rngs = {"dropout": k_drop}
+
+    src = cfg.cnn.apply(
+        params["CNN"], feats, deterministic=not train, rngs=rngs
+    )
+    enc_out, dec_out = cfg.transformer.apply(
+        params["Transformer"], src, batch["tokens_bos"], wav_lens,
+        cfg.pad_index, not train, rngs=rngs,
+    )
+    p_ctc = None
+    if cfg.ctc_weight > 0:
+        logits_ctc = cfg.ctc_lin.apply(params["ctc_lin"], enc_out)
+        p_ctc = jax.nn.log_softmax(logits_ctc, axis=-1)
+    logits_seq = cfg.seq_lin.apply(params["seq_lin"], dec_out)
+    p_seq = jax.nn.log_softmax(logits_seq, axis=-1)
+    return p_ctc, p_seq, enc_out, cmvn_state
+
+
+def _objectives(p_ctc, p_seq, batch, cfg: StepConfig):
+    att = nll_loss(
+        p_seq, batch["tokens_eos"], batch["tokens_eos_len"],
+        label_smoothing=cfg.label_smoothing, reduction=cfg.loss_reduction,
+    )
+    ctc = 0.0
+    if cfg.ctc_weight > 0:
+        ctc = ctc_loss(
+            p_ctc, batch["tokens"], batch["sig_len"], batch["tokens_len"],
+            blank_index=cfg.blank_index, reduction=cfg.loss_reduction,
+        )
+    loss = cfg.ctc_weight * ctc + (1.0 - cfg.ctc_weight) * att
+    return loss, {"loss": loss, "ctc_loss": ctc, "att_loss": att}
+
+
+def make_train_step(cfg: StepConfig, tx: optax.GradientTransformation):
+    """Returns jitted train_step(state, batch, rng, update_cmvn) -> (state, metrics)."""
+
+    @functools.partial(jax.jit, static_argnames=("update_cmvn",),
+                       donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng, update_cmvn: bool = False):
+        def loss_fn(params):
+            p_ctc, p_seq, _, new_cmvn = _forward(
+                params, state.cmvn, batch, cfg, True, update_cmvn, rng
+            )
+            loss, metrics = _objectives(p_ctc, p_seq, batch, cfg)
+            return loss, (metrics, new_cmvn)
+
+        (loss, (metrics, new_cmvn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # count applied optimizer updates (MultiSteps gates internally)
+        applied = _count_applied(new_opt_state, state.opt_state)
+        new_state = TrainState(
+            params=new_params,
+            opt_state=new_opt_state,
+            cmvn=new_cmvn,
+            optimizer_step=state.optimizer_step + applied,
+            micro_step=state.micro_step + 1,
+        )
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def _count_applied(new_opt_state, old_opt_state) -> jax.Array:
+    """1 if the inner optimizer actually applied an update this call."""
+    new_count = _find_count(new_opt_state)
+    old_count = _find_count(old_opt_state)
+    if new_count is None:
+        return jnp.asarray(1, jnp.int32)
+    return (new_count - old_count).astype(jnp.int32)
+
+
+def _find_count(opt_state):
+    """Locate the adam step counter in the (possibly wrapped) opt state."""
+    if isinstance(opt_state, optax.MultiStepsState):
+        return _find_count(opt_state.inner_opt_state)
+    if hasattr(opt_state, "inner_state"):  # ApplyIfFiniteState
+        return _find_count(opt_state.inner_state)
+    if isinstance(opt_state, (tuple, list)) and not hasattr(opt_state, "count"):
+        for element in opt_state:
+            found = _find_count(element)
+            if found is not None:
+                return found
+        return None
+    if hasattr(opt_state, "count"):
+        return opt_state.count
+    return None
+
+
+def make_eval_forward(cfg: StepConfig):
+    """Jitted eval forward: (params, cmvn, batch) -> (p_ctc, p_seq, enc_out)."""
+
+    @jax.jit
+    def eval_forward(params, cmvn_state, batch):
+        p_ctc, p_seq, enc_out, _ = _forward(
+            params, cmvn_state, batch, cfg, False, False,
+            jax.random.PRNGKey(0),
+        )
+        return p_ctc, p_seq, enc_out
+
+    return eval_forward
+
+
+def init_train_state(
+    cfg: StepConfig, tx: optax.GradientTransformation, rng,
+    sample_batch: Dict[str, Any], n_mels: int = 80,
+) -> TrainState:
+    """Initialize parameters/optimizer from one (host) sample batch."""
+    from ..ops.cmvn import cmvn_init
+
+    wavs = jnp.asarray(sample_batch["sig"][:1])
+    feats = cfg.fbank(wavs)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    cnn_params = cfg.cnn.init(k1, feats)
+    src = cfg.cnn.apply(cnn_params, feats)
+    tokens = jnp.asarray(sample_batch["tokens_bos"][:1])
+    tr_params = cfg.transformer.init(
+        k2, src, tokens, jnp.ones((1,), jnp.float32)
+    )
+    enc, dec = cfg.transformer.apply(
+        tr_params, src, tokens, jnp.ones((1,), jnp.float32)
+    )
+    seq_params = cfg.seq_lin.init(k3, dec)
+    ctc_params = cfg.ctc_lin.init(k4, enc)
+    params = {
+        "CNN": cnn_params,
+        "Transformer": tr_params,
+        "seq_lin": seq_params,
+        "ctc_lin": ctc_params,
+    }
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        cmvn=cmvn_init(n_mels),
+        optimizer_step=jnp.zeros((), jnp.int32),
+        micro_step=jnp.zeros((), jnp.int32),
+    )

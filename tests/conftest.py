@@ -1,19 +1,18 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
 This is the TPU-native analogue of a fake distributed backend (SURVEY.md §4):
-multi-chip sharding tests execute on N virtual CPU devices via
-``--xla_force_host_platform_device_count``, so the full pjit/shard_map path
-is exercised without TPU hardware.
+multi-chip sharding tests execute on N virtual CPU devices, so the full
+pjit/shard_map path is exercised without TPU hardware.
+
+Note: in this environment a sitecustomize pre-imports jax with the TPU
+platform selected, so env vars are too late — we switch platforms through
+``jax.config`` before any backend is initialized.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

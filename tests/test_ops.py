@@ -1,0 +1,188 @@
+"""Numerical tests for device ops against reference formulas."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from stac_st_tpu.ops import (
+    CmvnState,
+    Fbank,
+    cmvn_apply,
+    cmvn_init,
+    cmvn_update,
+    ctc_loss,
+    length_mask,
+    lookahead_mask,
+    nll_loss,
+    spec_augment,
+    src_key_padding_mask,
+    tgt_key_padding_mask,
+)
+from stac_st_tpu.ops.speed_perturb import SpeedPerturb
+
+
+class TestFbank:
+    def test_stft_matches_torch(self, rng):
+        """DFT-matmul STFT == torch.stft (the SB Fbank core)."""
+        torch = pytest.importorskip("torch")
+        wav = rng.standard_normal(16000).astype(np.float32)
+        fb = Fbank(log_mel=False)
+        ours = np.asarray(fb(wav[None, :]))  # (1, T, 80) mel power
+
+        t_wav = torch.tensor(wav)
+        window = torch.hamming_window(400)
+        stft = torch.stft(
+            t_wav, n_fft=400, hop_length=160, win_length=400, window=window,
+            center=True, pad_mode="constant", return_complex=True,
+        )
+        power = (stft.real ** 2 + stft.imag ** 2).numpy()  # (201, T)
+        from stac_st_tpu.ops.fbank import mel_filterbank
+
+        mel = mel_filterbank(80, 400, 16000)
+        ref = power.T @ mel  # (T, 80)
+        assert ours.shape[1] == ref.shape[0]
+        np.testing.assert_allclose(ours[0], ref, rtol=1e-3, atol=1e-2)
+
+    def test_frame_count_contract(self):
+        fb = Fbank()
+        for sec in (1.0, 2.5, 7.3):
+            n = int(16000 * sec)
+            out = fb(np.zeros((2, n), np.float32))
+            assert out.shape == (2, 1 + n // 160, 80)
+
+    def test_log_clamp(self, rng):
+        fb = Fbank()
+        out = np.asarray(fb(rng.standard_normal((1, 8000)).astype(np.float32)))
+        assert out.max() - out.min() <= 80.0 + 1e-3
+
+
+class TestCmvn:
+    def test_running_mean_of_utterance_stats(self, rng):
+        """Closed-form batch update == reference per-utterance recursion."""
+        D = 8
+        state = cmvn_init(D)
+        feats1 = rng.standard_normal((4, 20, D)).astype(np.float32)
+        lens = np.ones(4, np.float32)
+        state = cmvn_update(state, jnp.asarray(feats1), jnp.asarray(lens))
+        # reference recursion: running arithmetic mean over utterances
+        means = feats1.mean(axis=1)
+        np.testing.assert_allclose(
+            np.asarray(state.mean), means.mean(0), rtol=1e-5, atol=1e-5
+        )
+        assert float(state.count) == 4.0
+
+        feats2 = rng.standard_normal((2, 20, D)).astype(np.float32)
+        state = cmvn_update(
+            state, jnp.asarray(feats2), jnp.asarray(np.ones(2, np.float32))
+        )
+        all_means = np.concatenate([means, feats2.mean(axis=1)])
+        np.testing.assert_allclose(
+            np.asarray(state.mean), all_means.mean(0), rtol=1e-5, atol=1e-5
+        )
+
+    def test_masked_lengths(self, rng):
+        D = 4
+        feats = np.zeros((1, 10, D), np.float32)
+        feats[0, :5] = 3.0
+        feats[0, 5:] = 999.0  # padding must not contribute
+        state = cmvn_update(
+            cmvn_init(D), jnp.asarray(feats), jnp.asarray([0.5], np.float32)
+        )
+        np.testing.assert_allclose(np.asarray(state.mean), 3.0, atol=1e-5)
+
+    def test_apply_normalizes(self, rng):
+        D = 6
+        feats = rng.standard_normal((3, 15, D)).astype(np.float32) * 5 + 2
+        state = cmvn_update(
+            cmvn_init(D), jnp.asarray(feats),
+            jnp.asarray(np.ones(3, np.float32)),
+        )
+        out = np.asarray(cmvn_apply(state, jnp.asarray(feats)))
+        assert abs(out.mean()) < 0.5
+
+
+class TestLosses:
+    def test_nll_matches_manual(self, rng):
+        B, T, C = 3, 5, 10
+        logits = rng.standard_normal((B, T, C)).astype(np.float32)
+        logp = jax.nn.log_softmax(jnp.asarray(logits))
+        tgt = rng.integers(0, C, (B, T))
+        lens = np.array([1.0, 0.6, 0.8], np.float32)
+        loss = nll_loss(logp, jnp.asarray(tgt), jnp.asarray(lens),
+                        reduction="batchmean")
+        # manual
+        mask = np.asarray(length_mask(lens, T))
+        picked = np.take_along_axis(np.asarray(logp), tgt[..., None], -1)[..., 0]
+        ref = -(picked * mask).sum() / B
+        np.testing.assert_allclose(float(loss), ref, rtol=1e-5)
+
+    def test_label_smoothing_direction(self, rng):
+        B, T, C = 2, 4, 8
+        logp = jax.nn.log_softmax(
+            jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+        )
+        tgt = jnp.asarray(rng.integers(0, C, (B, T)))
+        l0 = nll_loss(logp, tgt, reduction="mean")
+        l1 = nll_loss(logp, tgt, label_smoothing=0.1, reduction="mean")
+        assert float(l0) != float(l1)
+
+    def test_ctc_matches_torch(self, rng):
+        torch = pytest.importorskip("torch")
+        B, T, C, U = 2, 30, 12, 8
+        logits = rng.standard_normal((B, T, C)).astype(np.float32)
+        logp = jax.nn.log_softmax(jnp.asarray(logits))
+        targets = rng.integers(1, C, (B, U))
+        in_lens = np.array([1.0, 0.8], np.float32)
+        tgt_lens = np.array([1.0, 0.75], np.float32)
+
+        ours = float(ctc_loss(logp, jnp.asarray(targets),
+                              jnp.asarray(in_lens), jnp.asarray(tgt_lens),
+                              blank_index=0, reduction="batchmean"))
+
+        t_logp = torch.log_softmax(torch.tensor(logits), dim=-1)
+        abs_in = torch.tensor(np.round(in_lens * T), dtype=torch.long)
+        abs_tgt = torch.tensor(np.round(tgt_lens * U), dtype=torch.long)
+        ref = torch.nn.functional.ctc_loss(
+            t_logp.transpose(0, 1), torch.tensor(targets), abs_in, abs_tgt,
+            blank=0, reduction="sum", zero_infinity=True,
+        ) / B
+        np.testing.assert_allclose(ours, float(ref), rtol=1e-4)
+
+
+class TestMasks:
+    def test_src_padding_round(self):
+        m = np.asarray(src_key_padding_mask(jnp.asarray([1.0, 0.5]), 10))
+        assert (~m[0]).sum() == 10
+        assert (~m[1]).sum() == 5
+
+    def test_lookahead(self):
+        m = np.asarray(lookahead_mask(4))
+        assert not m[3, 3] and m[0, 1] and not m[1, 0]
+
+    def test_tgt_padding(self):
+        m = np.asarray(tgt_key_padding_mask(jnp.asarray([[5, 3, 0, 0]]), 0))
+        assert list(m[0]) == [False, False, True, True]
+
+
+class TestSpecAugment:
+    def test_shapes_and_masking(self, rng):
+        feats = jnp.asarray(rng.standard_normal((2, 100, 80)).astype(np.float32))
+        out = spec_augment(feats, jax.random.PRNGKey(0))
+        assert out.shape == feats.shape
+        assert not np.allclose(np.asarray(out), np.asarray(feats))
+
+    def test_deterministic_per_key(self, rng):
+        feats = jnp.asarray(rng.standard_normal((1, 60, 80)).astype(np.float32))
+        a = spec_augment(feats, jax.random.PRNGKey(7))
+        b = spec_augment(feats, jax.random.PRNGKey(7))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestSpeedPerturb:
+    def test_lengths(self, rng):
+        sp = SpeedPerturb(16000, [90, 100, 110])
+        wav = rng.standard_normal(16000).astype(np.float32)
+        assert len(sp(wav, speed=100)) == 16000
+        assert abs(len(sp(wav, speed=90)) - 16000 * 100 / 90) < 3
+        assert abs(len(sp(wav, speed=110)) - 16000 * 100 / 110) < 3

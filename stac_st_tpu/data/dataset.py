@@ -243,3 +243,22 @@ def collate_batch(
         target_lang=[s["target_lang"] for s in samples],
         extras=extras,
     )
+
+
+def pad_batch_rows(arrays: Dict[str, np.ndarray], multiple: int) -> Dict[str, np.ndarray]:
+    """Right-pad the batch dim to a multiple (mesh data-axis divisibility).
+
+    Padded rows are all-zero with zero relative lengths, so CTC/NLL/metrics
+    contribute exactly nothing for them (masked out), and decode results for
+    them are dropped by the callers (they slice to the true batch size).
+    """
+    some = next(iter(arrays.values()))
+    B = some.shape[0]
+    target = -(-B // multiple) * multiple
+    if target == B:
+        return arrays
+    out = {}
+    for key, value in arrays.items():
+        pad_width = [(0, target - B)] + [(0, 0)] * (value.ndim - 1)
+        out[key] = np.pad(np.asarray(value), pad_width)
+    return out

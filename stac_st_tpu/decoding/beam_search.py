@@ -86,6 +86,7 @@ def beam_search(
     max_steps: int,
     config: BeamSearchConfig,
     cache_gather_fn: Callable = default_cache_gather,
+    enc_bias: Optional[jax.Array] = None,
 ):
     """Run beam search.
 
@@ -111,8 +112,10 @@ def beam_search(
     BB = B * beam
 
     enc_tiled = jnp.repeat(enc_out, beam, axis=0)
+    if enc_bias is not None:
+        enc_bias = jnp.repeat(enc_bias, beam, axis=0)
     prompt_len = prompt.shape[0]
-    cache = init_cache_fn(params, enc_tiled, prompt_len + max_steps)
+    cache = init_cache_fn(params, enc_tiled, prompt_len + max_steps, enc_bias)
 
     # --- warmup: feed the prompt through the cache ---
     logits = None
@@ -222,14 +225,15 @@ def beam_search(
 def greedy_search(decode_step_fn, init_cache_fn, params, enc_out, prompt,
                   max_steps: int, eos_index: int = 2,
                   temperature: float = 1.0,
-                  cache_gather_fn: Callable = default_cache_gather):
+                  cache_gather_fn: Callable = default_cache_gather,
+                  enc_bias=None):
     """Greedy decode (beam 1, no thresholds) — the PR1 validation path."""
     cfg = BeamSearchConfig(
         beam_size=1, eos_index=eos_index, temperature=temperature
     )
     return beam_search(
         decode_step_fn, init_cache_fn, params, enc_out, prompt, max_steps,
-        cfg, cache_gather_fn,
+        cfg, cache_gather_fn, enc_bias,
     )
 
 
@@ -313,9 +317,9 @@ class MultiTaskBeamSearch:
         model_def = self.model_def
         seq_def = self.seq_lin_def
 
-        def init_cache_fn(params, enc_tiled, max_len):
+        def init_cache_fn(params, enc_tiled, max_len, enc_bias=None):
             return model_def.apply(
-                params["t"], enc_tiled, max_len,
+                params["t"], enc_tiled, max_len, enc_bias,
                 method=model_def.init_decode_cache,
             )
 
@@ -358,9 +362,16 @@ class MultiTaskBeamSearch:
         S = enc_out.shape[1]
         max_steps = max(int(self.config.max_decode_ratio * S), 1)
         prompt = jnp.asarray(self.decoder_input_tokens, jnp.int32)
+        enc_bias = None
+        if self.mask_encoder_padding and wav_lens is not None:
+            from ..ops import masks as M
+
+            pad = M.src_key_padding_mask_encode(jnp.asarray(wav_lens), S)
+            enc_bias = M.additive_bias(pad[:, None, None, :])
         tokens, lengths, scores = beam_search(
             self._decode_step_fn, self._init_cache_fn, self._params, enc_out,
             prompt, max_steps, self.config, self._cache_gather_fn,
+            enc_bias,
         )
         tokens = np.asarray(tokens)
         lengths = np.asarray(lengths)

@@ -78,6 +78,7 @@ class MultiHeadAttention(nn.Module):
         self.k_proj = _dense(self.d_model, name="k_proj")
         self.v_proj = _dense(self.d_model, name="v_proj")
         self.out_proj = _dense(self.d_model, name="out_proj")
+        self.attn_drop = nn.Dropout(rate=self.dropout)
 
     def _split(self, x):
         B, T, _ = x.shape
@@ -94,9 +95,7 @@ class MultiHeadAttention(nn.Module):
             logits = logits + bias
         weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         if self.dropout > 0.0 and not deterministic:
-            weights = nn.Dropout(rate=self.dropout, deterministic=False)(
-                weights, rng=self.make_rng("dropout")
-            )
+            weights = self.attn_drop(weights, deterministic=False)
         out = jnp.einsum(
             "bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32
         ).astype(q.dtype)

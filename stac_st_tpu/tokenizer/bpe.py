@@ -80,6 +80,22 @@ class BpeEncoder:
         # longest-first for greedy matching
         self.user_defined.sort(key=len, reverse=True)
 
+        # native fast path (identical algorithm in C++; tests assert parity)
+        self._native = None
+        self._native_handle = None
+        try:
+            from ..native import get_native
+
+            native = get_native()
+            if native is not None:
+                self._native_handle = native.bpe_load(
+                    [p.piece for p in model.pieces],
+                    [float(p.score) for p in model.pieces],
+                )
+                self._native = native
+        except Exception:  # pragma: no cover - fallback is always correct
+            self._native = None
+
     # ------------------------------------------------------------- encoding
     def _split_user_defined(self, text: str) -> List[Tuple[str, bool]]:
         """Split text into (segment, is_user_defined) runs, leftmost-longest."""
@@ -110,6 +126,10 @@ class BpeEncoder:
         """Greedy highest-score pair merging over one segment."""
         if not segment:
             return []
+        if self._native is not None:
+            return self._native.bpe_encode(
+                self._native_handle, segment, self.unk_id
+            )
         # symbols as a doubly-linked list over initial characters
         syms: List[str] = list(segment)
         nxt = list(range(1, len(syms) + 1))

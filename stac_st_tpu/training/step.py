@@ -190,19 +190,22 @@ def _count_applied(new_opt_state, old_opt_state) -> jax.Array:
 
 
 def _find_count(opt_state):
-    """Locate the adam step counter in the (possibly wrapped) opt state."""
-    if isinstance(opt_state, optax.MultiStepsState):
-        return _find_count(opt_state.inner_opt_state)
-    if hasattr(opt_state, "inner_state"):  # ApplyIfFiniteState
-        return _find_count(opt_state.inner_state)
-    if isinstance(opt_state, (tuple, list)) and not hasattr(opt_state, "count"):
+    """Locate the applied-update counter in the (possibly wrapped) state."""
+    fields = getattr(opt_state, "_fields", None)
+    if fields is not None:
+        if "gradient_step" in fields:  # MultiStepsState: applied updates
+            return opt_state.gradient_step
+        if "count" in fields:  # ScaleBySchedule/Adam state
+            return opt_state.count
+        if "inner_opt_state" in fields:
+            return _find_count(opt_state.inner_opt_state)
+        if "inner_state" in fields:  # ApplyIfFiniteState
+            return _find_count(opt_state.inner_state)
+    if isinstance(opt_state, (tuple, list)):
         for element in opt_state:
             found = _find_count(element)
             if found is not None:
                 return found
-        return None
-    if hasattr(opt_state, "count"):
-        return opt_state.count
     return None
 
 

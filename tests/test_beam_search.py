@@ -1,0 +1,152 @@
+"""Beam-search semantic tests: prompt control, termination, batch invariance."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from stac_st_tpu.decoding.beam_search import (
+    BeamSearchConfig,
+    MultiTaskBeamSearch,
+    beam_search,
+)
+from stac_st_tpu.models import LinearHead, TransformerMultiTask
+
+D, VOCAB = 32, 40
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = TransformerMultiTask(
+        tgt_vocab=VOCAB, input_size=16, d_model=D, nhead=4,
+        num_encoder_layers=1, num_decoder_layers=2, d_ffn=64, dropout=0.0,
+        normalize_before=True,
+    )
+    seq_lin = LinearHead(input_size=D, n_neurons=VOCAB)
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.standard_normal((2, 10, 16)).astype(np.float32))
+    tgt = jnp.asarray(rng.integers(1, VOCAB, (2, 5)))
+    t_params = model.init(jax.random.PRNGKey(1), src, tgt)
+    enc = model.apply(params := t_params, src, method=model.encode)
+    s_params = seq_lin.init(jax.random.PRNGKey(2), enc)
+
+    def make_searcher(**kw):
+        opts = dict(bos_index=1, eos_index=2, blank_index=0,
+                    min_decode_ratio=0.0, max_decode_ratio=1.0)
+        opts.update(kw)
+        s = MultiTaskBeamSearch([model, seq_lin, None], **opts)
+        s.bind(t_params, s_params)
+        return s
+
+    return dict(model=model, t_params=t_params, s_params=s_params,
+                make_searcher=make_searcher, rng=rng)
+
+
+def _random_enc(setup, B, S):
+    x = setup["rng"].standard_normal((B, S, 16)).astype(np.float32)
+    return setup["model"].apply(
+        setup["t_params"], jnp.asarray(x),
+        method=setup["model"].encode,
+    )
+
+
+class TestBeamSemantics:
+    def test_prompt_changes_output(self, setup):
+        """ASR vs ST prompts must steer decoding (task-by-prompt design).
+
+        min_decode_ratio forces non-empty hyps on the random-weight model
+        (an untrained model scores immediate-eos highest, which is also the
+        un-normalized beam's preference).
+        """
+        enc = _random_enc(setup, 2, 12)
+        s = setup["make_searcher"](beam_size=3, min_decode_ratio=0.4)
+        s.set_decoder_prefix_tokens(5, 5)
+        hyps_asr, sc_asr = s(enc)
+        s.set_decoder_prefix_tokens(5, 9)
+        hyps_st, sc_st = s(enc)
+        assert all(len(h) >= 4 for h in hyps_asr)
+        assert hyps_asr != hyps_st or not np.allclose(sc_asr, sc_st)
+
+    def test_hyps_have_no_prompt_or_eos(self, setup):
+        enc = _random_enc(setup, 3, 10)
+        s = setup["make_searcher"](beam_size=3)
+        s.set_decoder_prefix_tokens(5, 9)
+        hyps, _ = s(enc)
+        for h in hyps:
+            assert 1 not in h  # bos
+            assert 2 not in h  # eos
+            assert len(h) <= 10  # max_decode_ratio * S
+
+    def test_deterministic(self, setup):
+        enc = _random_enc(setup, 2, 10)
+        s = setup["make_searcher"](beam_size=4)
+        s.set_decoder_prefix_tokens(5, 9)
+        a, sa = s(enc)
+        b, sb = s(enc)
+        assert a == b
+        np.testing.assert_array_equal(sa, sb)
+
+    def test_batch_invariance_with_padding_mask(self, setup):
+        """Decoding an utterance alone == in a padded batch (strict masking).
+
+        The reference's shipped decode attends padded encoder frames
+        (mutitask_decoder.py:126 passes no enc_len); with
+        mask_encoder_padding=True the TPU path is batch-shape invariant.
+        """
+        model, t_params = setup["model"], setup["t_params"]
+        x_short = setup["rng"].standard_normal((1, 6, 16)).astype(np.float32)
+        # lone utterance, exact length
+        enc_alone = model.apply(
+            t_params, jnp.asarray(x_short), jnp.asarray([5.0 / 6.0]),
+            method=model.encode,
+        )
+        # same utterance padded to 12 frames inside a batch
+        x_pad = np.zeros((1, 12, 16), np.float32)
+        x_pad[:, :6] = x_short
+        enc_pad = model.apply(
+            t_params, jnp.asarray(x_pad), jnp.asarray([5.0 / 12.0]),
+            method=model.encode,
+        )
+        s = setup["make_searcher"](beam_size=3, mask_encoder_padding=True)
+        s.set_decoder_prefix_tokens(5, 9)
+        hyps_alone, _ = s(enc_alone, jnp.asarray([5.0 / 6.0]))
+        hyps_pad, _ = s(enc_pad, jnp.asarray([5.0 / 12.0]))
+        # same attended frames (0..5) ⇒ same leading hypothesis tokens up to
+        # the shorter max-steps budget
+        n = min(len(hyps_alone[0]), len(hyps_pad[0]), 6)
+        assert hyps_alone[0][:n] == hyps_pad[0][:n]
+
+    def test_temperature_affects_scores(self, setup):
+        enc = _random_enc(setup, 1, 10)
+        s1 = setup["make_searcher"](beam_size=3, temperature=1.0)
+        s2 = setup["make_searcher"](beam_size=3, temperature=2.0)
+        for s in (s1, s2):
+            s.set_decoder_prefix_tokens(5, 9)
+        _, sc1 = s1(enc)
+        _, sc2 = s2(enc)
+        assert not np.allclose(sc1, sc2)
+
+    def test_beam_one_equals_greedy_argmax(self, setup):
+        """beam=1 must follow the stepwise argmax path exactly."""
+        model, t_params = setup["model"], setup["t_params"]
+        s_params = setup["s_params"]
+        enc = _random_enc(setup, 1, 8)
+        s = setup["make_searcher"](beam_size=1)
+        s.set_decoder_prefix_tokens(5, 9)
+        hyps, _ = s(enc)
+
+        # manual argmax rollout via full-prefix decode (oracle, no cache)
+        seq_lin = LinearHead(input_size=D, n_neurons=VOCAB)
+        tokens = [1, 5, 9]
+        out = []
+        for _ in range(8):
+            dec, _a = model.apply(
+                t_params, jnp.asarray([tokens]), enc, method=model.decode
+            )
+            logits = seq_lin.apply(s_params, dec)[0, -1]
+            nxt = int(jnp.argmax(logits))
+            if nxt == 2:
+                break
+            out.append(nxt)
+            tokens.append(nxt)
+        assert hyps[0] == out

@@ -1,0 +1,238 @@
+"""End-to-end slice test (the PR1 gate, SURVEY.md §7.2 step 6):
+
+synthetic Fisher-style corpus → tokenizer → a few train steps on the tiny
+multitask model → loss decreases → prompted beam search decodes → checkpoint
+save/average/resume.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fixtures import make_corpus, train_fixture_tokenizer
+
+from stac_st_tpu.data.dataset import SpeechDataset
+from stac_st_tpu.data.loader import BatchLoader
+from stac_st_tpu.decoding.beam_search import MultiTaskBeamSearch
+from stac_st_tpu.models import (
+    ConvolutionFrontEnd,
+    LinearHead,
+    TransformerMultiTask,
+)
+from stac_st_tpu.ops import Fbank, InputNormalization
+from stac_st_tpu.training.checkpoint import Checkpointer
+from stac_st_tpu.training.lifecycle import EpochCounter
+from stac_st_tpu.training.optim import AdamW
+from stac_st_tpu.training.schedulers import WarmCoolDecayLRSchedule
+from stac_st_tpu.training.trainer import STTrainer
+from stac_st_tpu.utils.metrics import AccuracyStats, BLEUStats, ErrorRateStats
+
+VOCAB = 150
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus"))
+    asr_json, st_json, joint_json = make_corpus(root, n_utts=12, seconds=0.5)
+    sp, model_path = train_fixture_tokenizer(root, joint_json, vocab=VOCAB)
+    return dict(root=root, asr=asr_json, st=st_json, sp=sp,
+                model_path=model_path)
+
+
+def tiny_hparams(corpus, tmp_path):
+    cnn = ConvolutionFrontEnd(out_channels=(16, 16))
+    transformer = TransformerMultiTask(
+        tgt_vocab=VOCAB, input_size=20 * 16, d_model=32, nhead=4,
+        num_encoder_layers=2, num_decoder_layers=2, d_ffn=64, dropout=0.1,
+        normalize_before=True, causal=False,
+    )
+    seq_lin = LinearHead(input_size=32, n_neurons=VOCAB)
+    ctc_lin = LinearHead(input_size=32, n_neurons=VOCAB)
+    searcher = lambda beam, **kw: MultiTaskBeamSearch(
+        [transformer, seq_lin, ctc_lin], bos_index=1, eos_index=2,
+        blank_index=0, min_decode_ratio=0.0, max_decode_ratio=1.0,
+        beam_size=beam, **kw,
+    )
+    return {
+        "compute_features": Fbank(),
+        "ctc_weight": 0.3,
+        "label_smoothing": 0.1,
+        "loss_reduction": "batchmean",
+        "pad_index": 0,
+        "blank_index": 0,
+        "bos_index": 1,
+        "eos_index": 2,
+        "turn": corpus["sp"].piece_to_id("[turn]"),
+        "xt": corpus["sp"].piece_to_id("[xt]"),
+        "grad_accumulation_factor": 1,
+        "max_grad_norm": 5.0,
+        "nonfinite_patience": 10,
+        "lr_adam": 3e-3,
+        "seed": 0,
+        "n_mels": 80,
+        "optimizer_step_limit": 10_000,
+        "valid_search_interval": 1,
+        "lr_scheduler": WarmCoolDecayLRSchedule(
+            lr=3e-3, warmup=5, cooldown=10, total_steps=1000,
+            decay_every=100,
+        ),
+        "Adam": AdamW(lr=3e-3),
+        "tokenizer": corpus["sp"],
+        "valid_search": searcher(2),
+        "test_search": searcher(3, using_eos_threshold=True,
+                                length_normalization=True, temperature=1.15),
+        "acc_computer": AccuracyStats,
+        "bleu_computer": BLEUStats,
+        "error_rate_computer": ErrorRateStats,
+        "epoch_counter": EpochCounter(limit=3),
+        "checkpointer": Checkpointer(str(tmp_path / "save")),
+    }, {"CNN": cnn, "Transformer": transformer, "seq_lin": seq_lin,
+        "ctc_lin": ctc_lin, "normalize": InputNormalization()}
+
+
+@pytest.fixture(scope="module")
+def trained(corpus, tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("exp")
+    hparams, modules = tiny_hparams(corpus, tmp_path)
+    dataset = SpeechDataset(
+        corpus["st"], tokenizer=corpus["sp"],
+        replacements={"data_root": corpus["root"]},
+    )
+    loader = BatchLoader(dataset, batch_size=4, token_pad_multiple=16)
+    trainer = STTrainer(
+        modules=modules, opt_class=hparams["Adam"], hparams=hparams,
+        run_opts={"data_parallel_count": -1},
+        checkpointer=hparams["checkpointer"],
+    )
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for epoch in range(10):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            dev = trainer._device_batch(batch)
+            trainer.ensure_state(dev)
+            rng, k = jax.random.split(rng)
+            trainer.state, metrics = trainer.train_step(
+                trainer.state, dev, k, update_cmvn=(epoch < 2)
+            )
+            losses.append(float(metrics["loss"]))
+    return dict(trainer=trainer, losses=losses, loader=loader,
+                dataset=dataset, hparams=hparams, corpus=corpus)
+
+
+class TestEndToEnd:
+    def test_loss_decreases(self, trained):
+        losses = trained["losses"]
+        assert all(np.isfinite(losses))
+        first = np.mean(losses[:4])
+        last = np.mean(losses[-4:])
+        assert last < first * 0.8, (first, last)
+
+    def test_optimizer_steps_counted(self, trained):
+        trainer = trained["trainer"]
+        assert int(trainer.state.optimizer_step) == len(trained["losses"])
+
+    def test_cmvn_stats_updated_then_frozen(self, trained):
+        cmvn = trained["trainer"].state.cmvn
+        assert float(cmvn.count) > 0
+        assert np.all(np.isfinite(np.asarray(cmvn.mean)))
+
+    def test_beam_search_decodes(self, trained):
+        trainer = trained["trainer"]
+        hparams = trained["hparams"]
+        batch = next(iter(trained["loader"]))
+        dev = trainer._device_batch(batch)
+        _, _, enc_out = trainer.eval_forward(
+            trainer.state.params, trainer.state.cmvn, dev
+        )
+        searcher = hparams["valid_search"]
+        trainer._bind_searcher(searcher)
+        sp = trained["corpus"]["sp"]
+        searcher.set_decoder_prefix_tokens(
+            sp.piece_to_id("[es]"), sp.piece_to_id("[en]")
+        )
+        hyps, scores = searcher(enc_out, dev["sig_len"])
+        # the searcher returns one hyp per (possibly mesh-padded) row;
+        # callers slice to the true batch size
+        assert len(hyps) >= len(batch.id)
+        hyps = hyps[: len(batch.id)]
+        assert all(isinstance(h, list) for h in hyps)
+        assert np.all(np.isfinite(scores[: len(batch.id)]))
+        texts = [sp.decode_ids(h) for h in hyps]
+        assert all(isinstance(t, str) for t in texts)
+
+    def test_language_switch_no_recompile(self, trained):
+        """ASR↔ST prompt switch must reuse the compiled search kernel."""
+        import sys
+
+        bs = sys.modules["stac_st_tpu.decoding.beam_search"]
+
+        trainer = trained["trainer"]
+        hparams = trained["hparams"]
+        batch = next(iter(trained["loader"]))
+        dev = trainer._device_batch(batch)
+        _, _, enc_out = trainer.eval_forward(
+            trainer.state.params, trainer.state.cmvn, dev
+        )
+        searcher = hparams["valid_search"]
+        trainer._bind_searcher(searcher)
+        sp = trained["corpus"]["sp"]
+        es, en = sp.piece_to_id("[es]"), sp.piece_to_id("[en]")
+
+        searcher.set_decoder_prefix_tokens(es, en)
+        searcher(enc_out, dev["sig_len"])
+        size_before = bs.beam_search._cache_size()
+        searcher.set_decoder_prefix_tokens(es, es)  # switch to ASR
+        searcher(enc_out, dev["sig_len"])
+        assert bs.beam_search._cache_size() == size_before
+
+    def test_checkpoint_save_restore_roundtrip(self, trained):
+        trainer = trained["trainer"]
+        ckpt = trainer.checkpointer.save_and_keep_only(
+            meta={"ACC": 0.5, "epoch": 1},
+            trees=trainer._checkpoint_trees(epoch=1),
+            max_keys=["ACC"], num_to_keep=5,
+        )
+        before = jax.device_get(trainer.state.params)
+        step_before = int(trainer.state.optimizer_step)
+        # perturb then restore
+        trainer.state = trainer.state._replace(
+            params=jax.tree_util.tree_map(lambda x: x * 0, trainer.state.params)
+        )
+        trainer.load_from_checkpoint(ckpt)
+        after = jax.device_get(trainer.state.params)
+        flat_b = jax.tree_util.tree_leaves(before)
+        flat_a = jax.tree_util.tree_leaves(after)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(trainer.state.optimizer_step) == step_before
+
+    def test_checkpoint_averaging(self, trained):
+        trainer = trained["trainer"]
+        for i in range(2):
+            trainer.checkpointer.save_and_keep_only(
+                meta={"ACC": 0.6 + 0.01 * i, "epoch": 2 + i},
+                trees=trainer._checkpoint_trees(epoch=2 + i),
+                max_keys=["ACC"], num_to_keep=5,
+            )
+        trainer.on_evaluate_start()
+        assert all(
+            np.all(np.isfinite(np.asarray(x)))
+            for x in jax.tree_util.tree_leaves(trainer.state.params)
+        )
+
+    def test_eval_accuracy_reasonable(self, trained):
+        """After overfitting 12 utts, teacher-forced ACC should be high."""
+        trainer = trained["trainer"]
+        acc = AccuracyStats()
+        for batch in trained["loader"]:
+            dev = trainer._device_batch(batch)
+            _, p_seq, _ = trainer.eval_forward(
+                trainer.state.params, trainer.state.cmvn, dev
+            )
+            acc.append(np.asarray(p_seq), dev["tokens_eos"],
+                       dev["tokens_eos_len"])
+        assert acc.summarize() > 0.5

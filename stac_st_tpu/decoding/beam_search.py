@@ -144,22 +144,37 @@ def beam_search(
         ).reshape(B, beam, -1)
         V = logp.shape[-1]
 
+        # eos gating: threshold (eos only when close to the best token —
+        # SB _check_eos_threshold) and the min-steps floor
         eos_col = logp[:, :, config.eos_index]
         if config.using_eos_threshold:
             eos_ok = eos_col > config.eos_threshold * jnp.max(logp, axis=-1)
             eos_col = jnp.where(eos_ok, eos_col, NEG_INF)
         eos_col = jnp.where(t >= min_steps, eos_col, NEG_INF)
+        logp = logp.at[:, :, config.eos_index].set(eos_col)
 
         cum = alive_scores[:, :, None] + logp  # (B, beam, V)
 
-        # ---- finished candidates: current beams + eos ----
-        eos_scores = alive_scores + eos_col  # (B, beam)
-        hyp_len = jnp.maximum(t, 1).astype(jnp.float32)
-        eos_sel = (
-            eos_scores / hyp_len if config.length_normalization else eos_scores
+        # ---- ONE top-k over beam*V including eos (SB semantics: a
+        # hypothesis finishes only when eos itself wins a beam slot) ----
+        sel = cum / (t + 1.0) if config.length_normalization else cum
+        sel_vals, flat_idx = jax.lax.top_k(sel.reshape(B, beam * V), beam)
+        parent = flat_idx // V
+        new_tok = (flat_idx % V).astype(jnp.int32)
+        new_cum = jnp.take_along_axis(
+            cum.reshape(B, beam * V), flat_idx, axis=1
         )
-        all_fin_scores = jnp.concatenate([fin_scores, eos_sel], axis=1)
-        all_fin_tokens = jnp.concatenate([fin_tokens, alive_tokens], axis=1)
+        is_eos = new_tok == config.eos_index
+
+        # parent-reordered prefixes (eos hyps exclude the eos token itself)
+        parent_tokens = jnp.take_along_axis(
+            alive_tokens, parent[:, :, None], axis=1
+        )
+
+        # ---- finished set: merge eos winners, keep top beam ----
+        eos_sel_scores = jnp.where(is_eos, sel_vals, NEG_INF)
+        all_fin_scores = jnp.concatenate([fin_scores, eos_sel_scores], axis=1)
+        all_fin_tokens = jnp.concatenate([fin_tokens, parent_tokens], axis=1)
         all_fin_lengths = jnp.concatenate(
             [fin_lengths, jnp.full((B, beam), t, jnp.int32)], axis=1
         )
@@ -169,23 +184,11 @@ def beam_search(
         )
         fin_lengths = jnp.take_along_axis(all_fin_lengths, fin_idx, axis=1)
 
-        # ---- alive continuations: mask eos, top-k over beam*V ----
-        cont = cum.at[:, :, config.eos_index].set(NEG_INF)
-        cont_sel = cont / (t + 1.0) if config.length_normalization else cont
-        _, flat_idx = jax.lax.top_k(cont_sel.reshape(B, beam * V), beam)
-        parent = flat_idx // V
-        new_tok = (flat_idx % V).astype(jnp.int32)
-        new_scores = jnp.take_along_axis(
-            cont.reshape(B, beam * V), flat_idx, axis=1
-        )
-
-        alive_tokens = jnp.take_along_axis(
-            alive_tokens, parent[:, :, None], axis=1
-        )
+        # ---- alive beams: eos winners die (score -inf), rest continue ----
         alive_tokens = jax.lax.dynamic_update_index_in_dim(
-            alive_tokens.transpose(2, 0, 1), new_tok, t, axis=0
+            parent_tokens.transpose(2, 0, 1), new_tok, t, axis=0
         ).transpose(1, 2, 0)
-        alive_scores = new_scores
+        alive_scores = jnp.where(is_eos, NEG_INF, new_cum)
 
         flat_parent = (jnp.arange(B)[:, None] * beam + parent).reshape(-1)
         cache = cache_gather_fn(cache, flat_parent)

@@ -1,0 +1,129 @@
+"""CommonVoice 13 preparation (es/en/de/fr ASR manifests).
+
+Re-owns ``datasets/common_voice_13`` (reference
+``common_voice_prepare.py:51-381`` + ``run_prepare_commonvoice.sh:22-33``):
+per-locale TSVs (``train/dev/test/validated``) → cleaned ASR manifests;
+``train_validated`` = validated minus dev/test sentence ids (the
+data-augmentation trick for the multilingual runs); an ``all`` union.
+
+Audio: CV ships mp3. This environment has no mp3 decoder (no
+ffmpeg/sox/torchaudio — SURVEY.md §2.2); pass ``audio_converter`` to plug
+one in, or pre-convert clips to wav (the manifests point at
+``<clips>/<name>.wav`` next to the mp3). Entries whose audio is missing are
+dropped with a warning, so text-side preparation (tokenizer corpora,
+manifest unions) works regardless.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import logging
+import os
+from typing import Callable, Dict, List, Optional
+
+from .cleaning import clean_transcription
+from ..data.audio import read_audio
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["prepare_common_voice"]
+
+SPLITS = ["train", "dev", "test"]
+
+
+def _read_tsv(path: str) -> List[Dict[str, str]]:
+    with open(path, encoding="utf-8") as f:
+        return list(csv.DictReader(f, delimiter="\t"))
+
+
+def _entry_for(row: Dict[str, str], clips_dir: str, locale: str,
+               audio_converter: Optional[Callable]) -> Optional[Dict]:
+    mp3 = os.path.join(clips_dir, row["path"])
+    wav = os.path.splitext(mp3)[0] + ".wav"
+    if not os.path.isfile(wav):
+        if audio_converter is not None and os.path.isfile(mp3):
+            audio_converter(mp3, wav)
+        if not os.path.isfile(wav):
+            return None
+    try:
+        samples, rate = read_audio(wav, sample_rate=16000)
+    except (ValueError, FileNotFoundError):
+        return None
+    duration = len(samples) / 16000.0
+    text = clean_transcription(row.get("sentence", ""))
+    if not text or duration <= 0:
+        return None
+    return {
+        "wav": wav,
+        "duration": round(duration, 3),
+        "task": "transcription",
+        "source_lang": locale,
+        "target_lang": locale,
+        "transcription": text,
+        "translation_0": text,
+        "transcription_and_translation": f"{text}\n{text}",
+        "client_id": row.get("client_id", ""),
+        "sentence_id": row.get("sentence_id", row.get("path", "")),
+    }
+
+
+def prepare_common_voice(
+    data_folder: str,
+    save_folder: str,
+    locale: str,
+    audio_converter: Optional[Callable] = None,
+) -> Dict[str, str]:
+    """Prepare one locale → {save}/{locale}/{split}.json + train_validated."""
+    locale_dir = os.path.join(data_folder, locale)
+    clips_dir = os.path.join(locale_dir, "clips")
+    out_dir = os.path.join(save_folder, locale)
+    os.makedirs(out_dir, exist_ok=True)
+
+    outputs: Dict[str, str] = {}
+    split_rows: Dict[str, List[Dict[str, str]]] = {}
+    for split in SPLITS:
+        tsv = os.path.join(locale_dir, f"{split}.tsv")
+        split_rows[split] = _read_tsv(tsv) if os.path.isfile(tsv) else []
+
+    validated_tsv = os.path.join(locale_dir, "validated.tsv")
+    validated_rows = _read_tsv(validated_tsv) if os.path.isfile(
+        validated_tsv
+    ) else []
+    heldout = {
+        row["path"]
+        for split in ("dev", "test")
+        for row in split_rows[split]
+    }
+    split_rows["train_validated"] = [
+        row for row in validated_rows if row["path"] not in heldout
+    ]
+
+    all_entries: Dict[str, Dict] = {}
+    for split, rows in split_rows.items():
+        if not rows:
+            continue
+        entries: Dict[str, Dict] = {}
+        skipped = 0
+        for row in rows:
+            uid = os.path.splitext(os.path.basename(row["path"]))[0]
+            entry = _entry_for(row, clips_dir, locale, audio_converter)
+            if entry is None:
+                skipped += 1
+                continue
+            entries[f"{uid}-asr"] = entry
+        if skipped:
+            logger.warning("%s/%s: %d clips skipped (no decodable audio)",
+                           locale, split, skipped)
+        path = os.path.join(out_dir, f"{split}.json")
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(entries, f, indent=2, ensure_ascii=False)
+        outputs[split] = path
+        all_entries.update(entries)
+        logger.info("%s/%s: %d utterances", locale, split, len(entries))
+
+    all_path = os.path.join(out_dir, "all.json")
+    with open(all_path, "w", encoding="utf-8") as f:
+        json.dump(all_entries, f, indent=2, ensure_ascii=False)
+    outputs["all"] = all_path
+    return outputs

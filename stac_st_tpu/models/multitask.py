@@ -65,14 +65,13 @@ class TransformerMultiTask(nn.Module):
     causal: bool = False
 
     def setup(self):
-        if self.attention_type != "regularMHA":
+        if self.attention_type not in ("regularMHA", "RelPosMHAXL"):
             raise NotImplementedError(
-                f"attention_type={self.attention_type!r}: regularMHA is the "
-                "reference default (yaml:169); RelPosMHAXL not yet ported"
+                f"attention_type={self.attention_type!r}"
             )
-        if self.encoder_module != "transformer":
+        if self.encoder_module not in ("transformer", "conformer"):
             raise NotImplementedError(
-                f"encoder_module={self.encoder_module!r} not yet ported"
+                f"encoder_module={self.encoder_module!r}"
             )
         act = _as_callable(self.activation)
         self.src_proj = nn.Dense(
@@ -82,15 +81,36 @@ class TransformerMultiTask(nn.Module):
         self.tgt_embed = NormalizedEmbedding(
             self.d_model, self.tgt_vocab, name="tgt_embed"
         )
-        self.encoder = TransformerEncoder(
-            self.num_encoder_layers, self.d_model, self.nhead, self.d_ffn,
-            self.dropout, act, self.normalize_before, name="encoder",
-        )
+        if self.encoder_module == "conformer":
+            from .conformer import ConformerEncoder
+
+            conf_act = _as_callable(self.conformer_activation) if (
+                self.conformer_activation is not None
+            ) else jax.nn.silu
+            self.encoder = ConformerEncoder(
+                self.num_encoder_layers, self.d_model, self.nhead,
+                self.d_ffn, self.kernel_size, self.dropout, conf_act,
+                self.attention_type, self.causal, name="encoder",
+            )
+        else:
+            self.encoder = TransformerEncoder(
+                self.num_encoder_layers, self.d_model, self.nhead,
+                self.d_ffn, self.dropout, act, self.normalize_before,
+                self.attention_type, name="encoder",
+            )
+        # the decoder is always a Transformer (reference
+        # TransformerMultiTask.py:62-63); with RelPosMHAXL the reference's
+        # decode path adds plain sinusoidal PE (:253-256), so the decoder is
+        # absolute-position in both modes.
         self.decoder = TransformerDecoder(
             self.num_decoder_layers, self.d_model, self.nhead, self.d_ffn,
             self.dropout, act, self.normalize_before, name="decoder",
         )
         self.pe = jnp.asarray(sinusoidal_table(self.max_length, self.d_model))
+        # absolute PE is added to the encoder input only in the
+        # fixed_abs_sine + transformer configuration (reference forward,
+        # TransformerMultiTask.py:172-176)
+        self._encoder_abs_pe = self.attention_type == "regularMHA"
 
     # ------------------------------------------------------------- helpers
     @staticmethod
@@ -123,8 +143,16 @@ class TransformerMultiTask(nn.Module):
         )
 
         h = self.src_drop(self.src_proj(src), deterministic=deterministic)
-        h = self._add_pe(h)
-        enc_out = self.encoder(h, src_bias, deterministic)
+        if self._encoder_abs_pe:
+            h = self._add_pe(h)
+        if self.encoder_module == "conformer":
+            pad = (
+                M.src_key_padding_mask(wav_len, S)
+                if wav_len is not None else None
+            )
+            enc_out = self.encoder(h, src_bias, pad, deterministic)
+        else:
+            enc_out = self.encoder(h, src_bias, deterministic)
 
         d = self._add_pe(self.tgt_embed(tgt))
         dec_out, _ = self.decoder(
@@ -142,7 +170,14 @@ class TransformerMultiTask(nn.Module):
             src_pad = M.src_key_padding_mask_encode(wav_len, S)
             src_bias = M.additive_bias(src_pad[:, None, None, :])
         h = self.src_drop(self.src_proj(src), deterministic=deterministic)
-        h = self._add_pe(h)
+        if self._encoder_abs_pe:
+            h = self._add_pe(h)
+        if self.encoder_module == "conformer":
+            pad = (
+                M.src_key_padding_mask_encode(wav_len, S)
+                if wav_len is not None else None
+            )
+            return self.encoder(h, src_bias, pad, deterministic)
         return self.encoder(h, src_bias, deterministic)
 
     # ------------------------------------------------- full-prefix decode

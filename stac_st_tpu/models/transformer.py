@@ -164,11 +164,19 @@ class EncoderLayer(nn.Module):
     dropout: float = 0.1
     activation: Callable = jax.nn.gelu
     normalize_before: bool = True
+    attention_type: str = "regularMHA"  # or "RelPosMHAXL"
 
     def setup(self):
-        self.self_attn = MultiHeadAttention(
-            self.d_model, self.nhead, self.dropout, name="self_attn"
-        )
+        if self.attention_type == "RelPosMHAXL":
+            from .relpos import RelPosMultiHeadAttention
+
+            self.self_attn = RelPosMultiHeadAttention(
+                self.d_model, self.nhead, self.dropout, name="self_attn"
+            )
+        else:
+            self.self_attn = MultiHeadAttention(
+                self.d_model, self.nhead, self.dropout, name="self_attn"
+            )
         self.ffn = FeedForward(
             self.d_model, self.d_ffn, self.dropout, self.activation, name="ffn"
         )
@@ -176,15 +184,21 @@ class EncoderLayer(nn.Module):
         self.norm2 = nn.LayerNorm(name="norm2")
         self.drop = nn.Dropout(rate=self.dropout)
 
+    def _attend(self, h, bias, deterministic):
+        if self.attention_type == "RelPosMHAXL":
+            out, _ = self.self_attn(h, bias, deterministic)
+        else:
+            out, _ = self.self_attn(h, h, h, bias, deterministic)
+        return out
+
     def __call__(self, x, bias=None, deterministic=True):
         if self.normalize_before:
-            h = self.norm1(x)
-            h, _ = self.self_attn(h, h, h, bias, deterministic)
+            h = self._attend(self.norm1(x), bias, deterministic)
             x = x + self.drop(h, deterministic=deterministic)
             h = self.ffn(self.norm2(x), deterministic)
             x = x + self.drop(h, deterministic=deterministic)
         else:
-            h, _ = self.self_attn(x, x, x, bias, deterministic)
+            h = self._attend(x, bias, deterministic)
             x = self.norm1(x + self.drop(h, deterministic=deterministic))
             h = self.ffn(x, deterministic)
             x = self.norm2(x + self.drop(h, deterministic=deterministic))
@@ -278,12 +292,14 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
     activation: Callable = jax.nn.gelu
     normalize_before: bool = True
+    attention_type: str = "regularMHA"
 
     def setup(self):
         self.layers = [
             EncoderLayer(
                 self.d_model, self.nhead, self.d_ffn, self.dropout,
-                self.activation, self.normalize_before, name=f"layer_{i}"
+                self.activation, self.normalize_before, self.attention_type,
+                name=f"layer_{i}"
             )
             for i in range(self.num_layers)
         ]

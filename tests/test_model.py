@@ -136,3 +136,61 @@ class TestLinearHead:
         x = jnp.asarray(rng.standard_normal((2, 5, D_MODEL)).astype(np.float32))
         params = head.init(jax.random.PRNGKey(0), x)
         assert head.apply(params, x).shape == (2, 5, VOCAB)
+
+
+class TestEncoderVariants:
+    def test_relpos_encoder_forward(self, rng):
+        model = TransformerMultiTask(
+            tgt_vocab=VOCAB, input_size=24, d_model=D_MODEL, nhead=NHEAD,
+            num_encoder_layers=2, num_decoder_layers=2, d_ffn=FFN,
+            dropout=0.0, normalize_before=True,
+            attention_type="RelPosMHAXL",
+        )
+        src = jnp.asarray(rng.standard_normal((2, 10, 24)).astype(np.float32))
+        tgt = jnp.asarray(rng.integers(1, VOCAB, (2, 5)))
+        params = model.init(jax.random.PRNGKey(0), src, tgt)
+        enc, dec = model.apply(params, src, tgt, jnp.asarray([1.0, 0.7]))
+        assert enc.shape == (2, 10, D_MODEL)
+        assert dec.shape == (2, 5, D_MODEL)
+        assert np.all(np.isfinite(np.asarray(enc)))
+
+    def test_relpos_shift_invariance(self, rng):
+        """Relative attention: uniform time shift of content must not change
+        outputs (unlike absolute PE)."""
+        from stac_st_tpu.models.relpos import RelPosMultiHeadAttention
+
+        mha = RelPosMultiHeadAttention(d_model=16, nhead=2)
+        x = rng.standard_normal((1, 6, 16)).astype(np.float32)
+        params = mha.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        out1, _ = mha.apply(params, jnp.asarray(x))
+        # embed the same content one step later in a longer sequence
+        x2 = np.concatenate([x[:, :1] * 0, x], axis=1)
+        out2, _ = mha.apply(params, jnp.asarray(x2))
+        # middle positions attend same relative pattern; only check shapes +
+        # finiteness here (strict invariance needs masking of the extra pos)
+        assert out2.shape == (1, 7, 16)
+        assert np.all(np.isfinite(np.asarray(out2)))
+
+    def test_conformer_encoder_forward(self, rng):
+        model = TransformerMultiTask(
+            tgt_vocab=VOCAB, input_size=24, d_model=D_MODEL, nhead=NHEAD,
+            num_encoder_layers=2, num_decoder_layers=2, d_ffn=FFN,
+            dropout=0.0, normalize_before=True,
+            encoder_module="conformer", attention_type="RelPosMHAXL",
+            kernel_size=7,
+        )
+        src = jnp.asarray(rng.standard_normal((2, 12, 24)).astype(np.float32))
+        tgt = jnp.asarray(rng.integers(1, VOCAB, (2, 5)))
+        params = model.init(jax.random.PRNGKey(0), src, tgt)
+        enc, dec = model.apply(params, src, tgt, jnp.asarray([1.0, 0.5]))
+        assert enc.shape == (2, 12, D_MODEL)
+        assert np.all(np.isfinite(np.asarray(enc)))
+        # KV-cached decode still works with a conformer encoder
+        cache = model.apply(
+            params, enc, 4, method=TransformerMultiTask.init_decode_cache
+        )
+        out, cache = model.apply(
+            params, jnp.asarray([1, 1]), jnp.asarray(0), cache,
+            method=TransformerMultiTask.decode_step,
+        )
+        assert out.shape == (2, D_MODEL)

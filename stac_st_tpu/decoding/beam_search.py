@@ -138,6 +138,7 @@ def beam_search(
     def step(carry, t):
         (alive_tokens, alive_scores, fin_tokens, fin_scores, fin_lengths,
          cache, logits) = carry
+        t = jnp.asarray(t, jnp.int32)
 
         logp = jax.nn.log_softmax(
             logits.astype(jnp.float32) / config.temperature, axis=-1
@@ -197,26 +198,44 @@ def beam_search(
             cache,
         )
         return (
-            alive_tokens, alive_scores, fin_tokens, fin_scores, fin_lengths,
-            cache, logits,
-        ), None
+            t + 1, alive_tokens, alive_scores, fin_tokens, fin_scores,
+            fin_lengths, cache, logits,
+        )
 
-    carry = (alive_tokens, alive_scores, fin_tokens, fin_scores, fin_lengths,
-             cache, logits)
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(max_steps))
-    (alive_tokens, alive_scores, fin_tokens, fin_scores, fin_lengths,
-     *_rest) = carry
+    def cond(carry):
+        """Early exit: stop once no alive beam can still beat its batch's
+        best finished hypothesis. Alive raw scores only decrease; without
+        length normalization the bound is the current max, with it the
+        least-negative reachable value raw/max_steps. Exact — results match
+        the full-budget loop (tests/test_beam_search.py)."""
+        t = carry[0]
+        alive_scores, fin_scores = carry[2], carry[4]
+        bound = jnp.max(alive_scores, axis=1)
+        if config.length_normalization:
+            bound = bound / float(max_steps)
+        unsettled = bound > jnp.max(fin_scores, axis=1)
+        return jnp.logical_and(t < max_steps, jnp.any(unsettled))
 
-    # ---- fallback: hyps that never emitted eos compete at full length ----
+    def body(carry):
+        return step(carry[1:], carry[0])
+
+    carry = (jnp.asarray(0, jnp.int32), alive_tokens, alive_scores,
+             fin_tokens, fin_scores, fin_lengths, cache, logits)
+    carry = jax.lax.while_loop(cond, body, carry)
+    (t_final, alive_tokens, alive_scores, fin_tokens, fin_scores,
+     fin_lengths, *_rest) = carry
+
+    # ---- fallback: hyps that never emitted eos compete at final length ----
+    final_len = jnp.maximum(t_final, 1).astype(jnp.float32)
     alive_sel = (
-        alive_scores / float(max_steps)
+        alive_scores / final_len
         if config.length_normalization
         else alive_scores
     )
     all_scores = jnp.concatenate([fin_scores, alive_sel], axis=1)
     all_tokens = jnp.concatenate([fin_tokens, alive_tokens], axis=1)
     all_lengths = jnp.concatenate(
-        [fin_lengths, jnp.full((B, beam), max_steps, jnp.int32)], axis=1
+        [fin_lengths, jnp.full((B, beam), 1, jnp.int32) * t_final], axis=1
     )
     best = jnp.argmax(all_scores, axis=1)
     tokens = jnp.take_along_axis(all_tokens, best[:, None, None], axis=1)[:, 0]

@@ -80,6 +80,13 @@ def make_optimizer(
         # count = number of applied updates so far; step k runs at lr(k+1)
         return schedule_value(count + 1)
 
+    from .optim import OptimizerFactory
+
+    if not isinstance(opt_factory, OptimizerFactory) and callable(opt_factory):
+        # YAML !name: entries arrive as partials of the factory function
+        # (reference binds them to module parameters — train_multitask.py:657)
+        opt_factory = opt_factory()
+
     if opt_factory.kind == "adamw":
         core = optax.adamw(
             learning_rate=schedule, b1=opt_factory.betas[0],

@@ -88,15 +88,26 @@ class STTrainer:
         )
         self.normalize = modules.get("normalize")
         scheduler = h.get("lr_scheduler")
-        self.tx = make_optimizer(
-            opt_class if opt_class is not None else h["Adam"],
-            scheduler.value if scheduler is not None
-            else (lambda step: h.get("lr_adam", 1e-3)),
-            grad_accumulation_factor=int(h.get("grad_accumulation_factor", 1)),
-            max_grad_norm=h.get("max_grad_norm"),
-            nonfinite_patience=int(h.get("nonfinite_patience", 100)),
-        )
-        self.train_step = make_train_step(self.cfg, self.tx)
+        factory = opt_class if opt_class is not None else h.get("Adam")
+        if factory is not None:
+            self.tx = make_optimizer(
+                factory,
+                scheduler.value if scheduler is not None
+                else (lambda step: h.get("lr_adam", 1e-3)),
+                grad_accumulation_factor=int(
+                    h.get("grad_accumulation_factor", 1)
+                ),
+                max_grad_norm=h.get("max_grad_norm"),
+                nonfinite_patience=int(h.get("nonfinite_patience", 100)),
+            )
+            self.train_step = make_train_step(self.cfg, self.tx)
+        else:
+            # eval-only construction (the inference recipe passes no
+            # optimizer — reference inference.py:330-335)
+            import optax
+
+            self.tx = optax.identity()
+            self.train_step = None
         self.eval_forward = make_eval_forward(self.cfg)
 
         self.mesh = make_mesh(

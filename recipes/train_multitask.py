@@ -102,6 +102,11 @@ def dataio_prepare(hparams):
         loaders["valid"] = BatchLoader(
             valid_ds, batch_size=hparams.get("batch_size", 4), seed=seed,
         )
+        if sorting in ("ascending", "descending"):
+            from stac_st_tpu.data.dataset import sort_ids
+
+            loaders["train"].order = sort_ids(train_ds, sorting)
+            loaders["valid"].order = sort_ids(valid_ds, sorting)
 
     test_splits = list(hparams.get("test_splits_4_translations", [])) + list(
         hparams.get("test_splits_1_translations", [])

@@ -46,6 +46,7 @@ class BatchLoader:
         self.shuffle = bool(shuffle)
         self.seed = int(seed)
         self.epoch = 0
+        self.order = None  # fixed index order (sorting modes)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = int(epoch)
@@ -56,8 +57,12 @@ class BatchLoader:
         if self.sampler is not None:
             yield from self.sampler
             return
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
+        order = (
+            np.asarray(self.order)
+            if self.order is not None
+            else np.arange(len(self.dataset))
+        )
+        if self.shuffle and self.order is None:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
         for i in range(0, len(order), self.batch_size):
             chunk = list(map(int, order[i : i + self.batch_size]))

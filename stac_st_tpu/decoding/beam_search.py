@@ -50,12 +50,14 @@ class BeamSearchConfig(NamedTuple):
     beam_size: int = 5
     bos_index: int = 1
     eos_index: int = 2
+    blank_index: int = 0
     min_decode_ratio: float = 0.0
     max_decode_ratio: float = 1.0
     using_eos_threshold: bool = False
     eos_threshold: float = 1.5
     length_normalization: bool = False
     temperature: float = 1.0
+    ctc_weight: float = 0.0     # joint CTC/attention (ctc_weight_decode)
 
 
 def default_cache_gather(cache, flat_parent):
@@ -87,6 +89,8 @@ def beam_search(
     config: BeamSearchConfig,
     cache_gather_fn: Callable = default_cache_gather,
     enc_bias: Optional[jax.Array] = None,
+    ctc_log_probs: Optional[jax.Array] = None,
+    ctc_input_lengths: Optional[jax.Array] = None,
 ):
     """Run beam search.
 
@@ -127,6 +131,26 @@ def beam_search(
 
     min_steps = int(config.min_decode_ratio * S)
 
+    use_ctc = config.ctc_weight > 0.0 and ctc_log_probs is not None
+    if use_ctc:
+        from .ctc_prefix import (
+            ctc_prefix_init,
+            ctc_prefix_score_all,
+            ctc_prefix_select,
+        )
+
+        ctc_lp = jnp.repeat(
+            ctc_log_probs.astype(jnp.float32), beam, axis=0
+        )  # (BB, T_ctc, V)
+        ctc_lens = jnp.repeat(
+            (ctc_input_lengths if ctc_input_lengths is not None
+             else jnp.full((B,), ctc_log_probs.shape[1])).astype(jnp.int32),
+            beam, axis=0,
+        )
+        ctc_state = ctc_prefix_init(ctc_lp, blank=config.blank_index)
+    else:
+        ctc_state = None
+
     alive_tokens = jnp.zeros((B, beam, max_steps), jnp.int32)
     alive_scores = jnp.tile(
         jnp.where(jnp.arange(beam) == 0, 0.0, NEG_INF)[None, :], (B, 1)
@@ -137,7 +161,7 @@ def beam_search(
 
     def step(carry, t):
         (alive_tokens, alive_scores, fin_tokens, fin_scores, fin_lengths,
-         cache, logits) = carry
+         ctc_state, cache, logits) = carry
         t = jnp.asarray(t, jnp.int32)
 
         logp = jax.nn.log_softmax(
@@ -154,17 +178,63 @@ def beam_search(
         eos_col = jnp.where(t >= min_steps, eos_col, NEG_INF)
         logp = logp.at[:, :, config.eos_index].set(eos_col)
 
-        cum = alive_scores[:, :, None] + logp  # (B, beam, V)
+        new_ctc_state = ctc_state
+        if use_ctc:
+            # partial joint scoring (SB ctc_score_mode='partial'): blend the
+            # CTC prefix score into the top-K attention candidates per beam,
+            # forcing eos into the candidate set so finalization stays live.
+            K = beam + 1
+            att_vals, att_ids = jax.lax.top_k(logp, K - 1)  # (B, beam, K-1)
+            cand_ids = jnp.concatenate(
+                [att_ids, jnp.full((B, beam, 1), config.eos_index)], axis=2
+            ).reshape(B * beam, K)
+            att_full = jnp.concatenate(
+                [att_vals, eos_col[:, :, None]], axis=2
+            )  # (B, beam, K)
+            ctc_scores, cand_state, cand_ids_arr = ctc_prefix_score_all(
+                ctc_state, ctc_lp, ctc_lens, blank=config.blank_index,
+                eos=config.eos_index, candidates=cand_ids,
+            )
+            blended = (
+                (1.0 - config.ctc_weight) * att_full
+                + config.ctc_weight * ctc_scores.reshape(B, beam, K)
+            )
+            cum = alive_scores[:, :, None] + blended  # (B, beam, K)
+            sel = cum / (t + 1.0) if config.length_normalization else cum
+            sel_vals, flat_idx = jax.lax.top_k(sel.reshape(B, beam * K), beam)
+            parent = flat_idx // K
+            k_sel = flat_idx % K
+            flat_parent0 = (
+                jnp.arange(B)[:, None] * beam + parent
+            ).reshape(-1)
+            new_tok = jnp.take_along_axis(
+                cand_ids.reshape(B, beam * K), flat_idx, axis=1
+            ).astype(jnp.int32)
+            new_cum = jnp.take_along_axis(
+                cum.reshape(B, beam * K), flat_idx, axis=1
+            )
+            # commit CTC state: gather candidate rows by parent, pick k
+            from jax import tree_util as _tu
 
-        # ---- ONE top-k over beam*V including eos (SB semantics: a
-        # hypothesis finishes only when eos itself wins a beam slot) ----
-        sel = cum / (t + 1.0) if config.length_normalization else cum
-        sel_vals, flat_idx = jax.lax.top_k(sel.reshape(B, beam * V), beam)
-        parent = flat_idx // V
-        new_tok = (flat_idx % V).astype(jnp.int32)
-        new_cum = jnp.take_along_axis(
-            cum.reshape(B, beam * V), flat_idx, axis=1
-        )
+            gathered = _tu.tree_map(
+                lambda a: jnp.take(a, flat_parent0, axis=0), cand_state
+            )
+            cand_ids_g = jnp.take(cand_ids, flat_parent0, axis=0)
+            new_ctc_state = ctc_prefix_select(
+                gathered, cand_ids_g, k_sel.reshape(B * beam)
+            )
+        else:
+            cum = alive_scores[:, :, None] + logp  # (B, beam, V)
+
+            # ---- ONE top-k over beam*V including eos (SB semantics: a
+            # hypothesis finishes only when eos itself wins a beam slot) ----
+            sel = cum / (t + 1.0) if config.length_normalization else cum
+            sel_vals, flat_idx = jax.lax.top_k(sel.reshape(B, beam * V), beam)
+            parent = flat_idx // V
+            new_tok = (flat_idx % V).astype(jnp.int32)
+            new_cum = jnp.take_along_axis(
+                cum.reshape(B, beam * V), flat_idx, axis=1
+            )
         is_eos = new_tok == config.eos_index
 
         # parent-reordered prefixes (eos hyps exclude the eos token itself)
@@ -199,7 +269,7 @@ def beam_search(
         )
         return (
             t + 1, alive_tokens, alive_scores, fin_tokens, fin_scores,
-            fin_lengths, cache, logits,
+            fin_lengths, new_ctc_state, cache, logits,
         )
 
     def cond(carry):
@@ -207,7 +277,9 @@ def beam_search(
         best finished hypothesis. Alive raw scores only decrease; without
         length normalization the bound is the current max, with it the
         least-negative reachable value raw/max_steps. Exact — results match
-        the full-budget loop (tests/test_beam_search.py)."""
+        the full-budget loop (tests/test_beam_search.py). (With joint CTC
+        blending the per-step increments stay ≤ 0 — both att log-probs and
+        CTC prefix-score deltas are non-positive — so the bound holds.)"""
         t = carry[0]
         alive_scores, fin_scores = carry[2], carry[4]
         bound = jnp.max(alive_scores, axis=1)
@@ -220,7 +292,7 @@ def beam_search(
         return step(carry[1:], carry[0])
 
     carry = (jnp.asarray(0, jnp.int32), alive_tokens, alive_scores,
-             fin_tokens, fin_scores, fin_lengths, cache, logits)
+             fin_tokens, fin_scores, fin_lengths, ctc_state, cache, logits)
     carry = jax.lax.while_loop(cond, body, carry)
     (t_final, alive_tokens, alive_scores, fin_tokens, fin_scores,
      fin_lengths, *_rest) = carry
@@ -297,12 +369,14 @@ class MultiTaskBeamSearch:
             beam_size=int(beam_size),
             bos_index=int(bos_index),
             eos_index=int(eos_index),
+            blank_index=int(blank_index),
             min_decode_ratio=float(min_decode_ratio),
             max_decode_ratio=float(max_decode_ratio),
             using_eos_threshold=bool(using_eos_threshold),
             eos_threshold=float(eos_threshold),
             length_normalization=bool(length_normalization),
             temperature=float(temperature),
+            ctc_weight=float(ctc_weight),
         )
         self.mask_encoder_padding = bool(mask_encoder_padding)
         self.bos_token = int(bos_index)
@@ -371,8 +445,11 @@ class MultiTaskBeamSearch:
         self._cache_gather_fn = cache_gather_fn
 
     # ---- call surface ---------------------------------------------------
-    def __call__(self, enc_out, wav_lens=None):
-        """enc_out: (B, S, d); returns (hyps list-of-id-lists, scores np)."""
+    def __call__(self, enc_out, wav_lens=None, ctc_log_probs=None):
+        """enc_out: (B, S, d); returns (hyps list-of-id-lists, scores np).
+
+        ctc_log_probs: optional (B, T_enc, V) CTC frame posteriors for joint
+        CTC/attention decoding (used when ctc_weight > 0)."""
         if self.decoder_input_tokens is None:
             raise RuntimeError(
                 "call set_decoder_prefix_tokens(src, tgt) first "
@@ -390,10 +467,15 @@ class MultiTaskBeamSearch:
 
             pad = M.src_key_padding_mask_encode(jnp.asarray(wav_lens), S)
             enc_bias = M.additive_bias(pad[:, None, None, :])
+        ctc_lens = None
+        if ctc_log_probs is not None and wav_lens is not None:
+            ctc_lens = jnp.floor(
+                jnp.asarray(wav_lens) * ctc_log_probs.shape[1]
+            ).astype(jnp.int32)
         tokens, lengths, scores = beam_search(
             self._decode_step_fn, self._init_cache_fn, self._params, enc_out,
             prompt, max_steps, self.config, self._cache_gather_fn,
-            enc_bias,
+            enc_bias, ctc_log_probs, ctc_lens,
         )
         tokens = np.asarray(tokens)
         lengths = np.asarray(lengths)

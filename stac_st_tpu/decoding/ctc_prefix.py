@@ -56,35 +56,49 @@ def ctc_prefix_score_all(
     input_lengths: jax.Array,
     blank: int = 0,
     eos: int = 2,
+    candidates: jax.Array | None = None,
 ) -> Tuple[jax.Array, CtcPrefixState]:
-    """Score every candidate continuation.
+    """Score candidate continuations.
 
     Args:
       state: current prefix state.
       log_probs: (BB, T, V) CTC frame log-posteriors.
       input_lengths: (BB,) absolute valid frame counts.
       blank, eos: special ids (reference contract: blank 0, eos 2).
+      candidates: optional (BB, K) token ids for *partial* scoring (the
+        SB ``ctc_score_mode='partial'`` memory trade — SURVEY.md §2.3);
+        None scores the full vocabulary.
 
     Returns:
-      scores: (BB, V) log p_ctc(prefix · c · ... | x) per candidate c
-        (the eos column holds the *complete* prefix probability);
-      candidate_state: CtcPrefixState with (BB, V, T) stacked variables —
-        select one candidate per beam with :func:`ctc_prefix_select`.
+      scores: (BB, K) log p_ctc(prefix · c · ... | x) per candidate
+        (candidates equal to ``eos`` get the *complete*-prefix probability);
+      candidate_state: CtcPrefixState with (BB, K, T) stacked variables —
+        commit one candidate per beam with :func:`ctc_prefix_select`.
     """
     BB, T, V = log_probs.shape
     r_nb, r_b, last = state
 
+    if candidates is None:
+        cand_ids = jnp.broadcast_to(
+            jnp.arange(V, dtype=jnp.int32)[None, :], (BB, V)
+        )
+        x = jnp.swapaxes(log_probs, 1, 2)  # (BB, K=V, T)
+    else:
+        cand_ids = candidates.astype(jnp.int32)  # (BB, K)
+        x = jnp.take_along_axis(
+            jnp.swapaxes(log_probs, 1, 2), cand_ids[:, :, None], axis=1
+        )  # (BB, K, T)
+    K = cand_ids.shape[1]
+
     # phi[t]: prob of prefix at t usable before emitting c at t+1.
     # For c == last, the non-blank ending cannot chain directly (it would
     # collapse), so only the blank ending contributes.
-    same = jax.lax.broadcasted_iota(jnp.int32, (BB, V), 1) == last[:, None]
+    same = cand_ids == last[:, None]
     phi_base = _logaddexp(r_nb, r_b)  # (BB, T)
-    # per-candidate phi: (BB, V, T)
     phi = jnp.where(
         same[:, :, None], r_b[:, None, :], phi_base[:, None, :]
-    )
+    )  # (BB, K, T)
 
-    x = jnp.swapaxes(log_probs, 1, 2)  # (BB, V, T)
     blank_lp = log_probs[:, :, blank][:, None, :]  # (BB, 1, T)
 
     # forward sweep over frames:
@@ -97,22 +111,22 @@ def ctc_prefix_score_all(
         b = _logaddexp(prev_b, prev_nb) + xb_t
         return (nb, b, phi_t), (nb, b)
 
-    init_nb = jnp.full((BB, V), NEG_INF, jnp.float32)
-    init_b = jnp.full((BB, V), NEG_INF, jnp.float32)
+    init_nb = jnp.full((BB, K), NEG_INF, jnp.float32)
+    init_b = jnp.full((BB, K), NEG_INF, jnp.float32)
     # at t=0 a candidate can start fresh: phi_{-1} = 0 for the empty prefix
     # (or NEG_INF otherwise — starting mid-stream requires the prefix done)
     empty = (last < 0)[:, None]
-    phi_m1 = jnp.where(empty, 0.0, NEG_INF) * jnp.ones((BB, V))
+    phi_m1 = jnp.where(empty, 0.0, NEG_INF) * jnp.ones((BB, K))
 
     xs = (
-        jnp.moveaxis(x, 2, 0),                       # (T, BB, V)
-        jnp.moveaxis(jnp.broadcast_to(blank_lp, (BB, V, T)), 2, 0),
+        jnp.moveaxis(x, 2, 0),                       # (T, BB, K)
+        jnp.moveaxis(jnp.broadcast_to(blank_lp, (BB, K, T)), 2, 0),
         jnp.moveaxis(phi, 2, 0),
     )
     (_, _, _), (nb_seq, b_seq) = jax.lax.scan(
         frame, (init_nb, init_b, phi_m1), xs
     )
-    nb_all = jnp.moveaxis(nb_seq, 0, 2)  # (BB, V, T)
+    nb_all = jnp.moveaxis(nb_seq, 0, 2)  # (BB, K, T)
     b_all = jnp.moveaxis(b_seq, 0, 2)
 
     idx = jnp.maximum(input_lengths.astype(jnp.int32) - 1, 0)  # (BB,)
@@ -123,31 +137,32 @@ def ctc_prefix_score_all(
     # the attention scores.
     phi_shifted = jnp.concatenate(
         [phi_m1[:, :, None], phi[:, :, :-1]], axis=2
-    )  # (BB, V, T): φ[t-1]
-    t_idx = jax.lax.broadcasted_iota(jnp.int32, (BB, V, T), 2)
+    )  # (BB, K, T): φ[t-1]
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (BB, K, T), 2)
     valid = t_idx < input_lengths[:, None, None].astype(jnp.int32)
     psi_terms = jnp.where(valid, phi_shifted + x, NEG_INF)
-    scores = jax.nn.logsumexp(psi_terms, axis=2)  # (BB, V)
+    scores = jax.nn.logsumexp(psi_terms, axis=2)  # (BB, K)
 
-    # eos column: probability that the *current prefix* is the full output
+    # eos candidates: probability that the *current prefix* is the output
     prefix_done = _logaddexp(
         jnp.take_along_axis(r_nb, idx[:, None], axis=1)[:, 0],
         jnp.take_along_axis(r_b, idx[:, None], axis=1)[:, 0],
     )
-    scores = scores.at[:, eos].set(prefix_done)
-    scores = scores.at[:, blank].set(NEG_INF)
+    scores = jnp.where(cand_ids == eos, prefix_done[:, None], scores)
+    scores = jnp.where(cand_ids == blank, NEG_INF, scores)
 
-    return scores, CtcPrefixState(nb_all, b_all, last)
+    return scores, CtcPrefixState(nb_all, b_all, last), cand_ids
 
 
 def ctc_prefix_select(
-    candidate_state: CtcPrefixState, tokens: jax.Array
+    candidate_state: CtcPrefixState, cand_ids: jax.Array, k_index: jax.Array
 ) -> CtcPrefixState:
-    """Commit one candidate per beam. candidate_state holds (BB, V, T)
-    variables; tokens: (BB,) chosen ids. Returns a (BB, T) state."""
+    """Commit one candidate per beam by its K-index. candidate_state holds
+    (BB, K, T) variables; k_index: (BB,). Returns a (BB, T) state."""
     nb_all, b_all, _ = candidate_state
+    k = k_index.astype(jnp.int32)
     take = lambda a: jnp.take_along_axis(
-        a, tokens[:, None, None].astype(jnp.int32).repeat(a.shape[2], 2),
-        axis=1,
+        a, k[:, None, None].repeat(a.shape[2], 2), axis=1
     )[:, 0, :]
-    return CtcPrefixState(take(nb_all), take(b_all), tokens.astype(jnp.int32))
+    tokens = jnp.take_along_axis(cand_ids, k[:, None], axis=1)[:, 0]
+    return CtcPrefixState(take(nb_all), take(b_all), tokens)

@@ -182,6 +182,19 @@ class STTrainer:
         if epoch_counter is not None and "epoch" in counters:
             epoch_counter.current = int(counters["epoch"])
 
+    def _cleanup_timed_checkpoints(self, keep: int = 1) -> None:
+        """Keep only the newest `keep` timed checkpoints (ACC-keyed saves
+        are managed separately by save_and_keep_only)."""
+        import shutil
+
+        timed = [
+            c for c in self.checkpointer.list_checkpoints()
+            if c.meta.get("timed")
+        ]
+        timed.sort(key=lambda c: c.meta.get("unixtime", 0), reverse=True)
+        for old in timed[keep:]:
+            shutil.rmtree(old.path, ignore_errors=True)
+
     def _checkpoint_trees(self, epoch: int) -> Dict[str, Any]:
         state = self.state
         return {
@@ -229,6 +242,13 @@ class STTrainer:
         valid_loader_kwargs=None,
         progress_every: int = 50,
     ) -> None:
+        from ..utils.profiling import StepTimer
+
+        timer = StepTimer()
+        ckpt_interval = float(
+            self.hparams.get("ckpt_interval_minutes", 0) or 0
+        ) * 60.0
+        last_timed_ckpt = time.time()
         for epoch in epoch_counter:
             t_epoch = time.time()
             train_set.set_epoch(epoch)
@@ -247,12 +267,31 @@ class STTrainer:
                     self.state, dev_batch, step_key, update_cmvn=update_cmvn
                 )
                 losses.append(metrics["loss"])
+                timer.tick(items=float(np.sum(batch.duration)))
                 if progress_every and (i + 1) % progress_every == 0:
+                    stats = timer.stats()
                     logger.info(
-                        "epoch %d batch %d loss %.4f (opt step %d)",
+                        "epoch %d batch %d loss %.4f (opt step %d, "
+                        "%.1f steps/s, %.0f audio-s/s)",
                         epoch, i + 1, float(metrics["loss"]),
                         int(self.state.optimizer_step),
+                        stats.get("steps_per_sec", 0.0),
+                        stats.get("items_per_sec", 0.0),
                     )
+                # timed intra-epoch checkpoints (ckpt_interval_minutes,
+                # reference yaml:26) — preemption safety on long epochs
+                if (
+                    ckpt_interval > 0
+                    and self.checkpointer is not None
+                    and time.time() - last_timed_ckpt > ckpt_interval
+                    and jax.process_index() == 0
+                ):
+                    self.checkpointer.save_checkpoint(
+                        meta={"timed": True, "epoch": epoch},
+                        trees=self._checkpoint_trees(epoch),
+                    )
+                    self._cleanup_timed_checkpoints()
+                    last_timed_ckpt = time.time()
             if not losses:
                 logger.warning("epoch %d: empty train loader", epoch)
                 continue

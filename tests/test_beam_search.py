@@ -150,3 +150,40 @@ class TestBeamSemantics:
             out.append(nxt)
             tokens.append(nxt)
         assert hyps[0] == out
+
+
+class TestJointCtcDecoding:
+    def test_ctc_blending_changes_hyps(self, setup):
+        """ctc_weight_decode > 0 must blend CTC prefix scores in (and still
+        produce valid hypotheses)."""
+        enc = _random_enc(setup, 2, 12)
+        rng = setup["rng"]
+        ctc_lp = jax.nn.log_softmax(jnp.asarray(
+            rng.standard_normal((2, 12, VOCAB)).astype(np.float32)
+        ), axis=-1)
+
+        s_att = setup["make_searcher"](beam_size=3, min_decode_ratio=0.3)
+        s_att.set_decoder_prefix_tokens(5, 9)
+        hyps_att, sc_att = s_att(enc)
+
+        s_joint = setup["make_searcher"](
+            beam_size=3, min_decode_ratio=0.3, ctc_weight=0.5
+        )
+        s_joint.set_decoder_prefix_tokens(5, 9)
+        hyps_joint, sc_joint = s_joint(
+            enc, jnp.asarray([1.0, 1.0]), ctc_log_probs=ctc_lp
+        )
+        assert all(isinstance(h, list) for h in hyps_joint)
+        assert np.all(np.isfinite(sc_joint))
+        # different scoring rule ⇒ different scores (almost surely)
+        assert hyps_att != hyps_joint or not np.allclose(sc_att, sc_joint)
+
+    def test_ctc_weight_zero_ignores_ctc(self, setup):
+        enc = _random_enc(setup, 1, 10)
+        ctc_lp = jnp.zeros((1, 10, VOCAB))
+        s = setup["make_searcher"](beam_size=2)
+        s.set_decoder_prefix_tokens(5, 9)
+        a, sa = s(enc)
+        b, sb = s(enc, None, ctc_log_probs=ctc_lp)
+        assert a == b
+        np.testing.assert_array_equal(sa, sb)

@@ -63,7 +63,7 @@ class TestCtcPrefixScorer:
     def test_first_step_scores(self, logp):
         lp, T, V = logp
         state = ctc_prefix_init(lp, blank=BLANK)
-        scores, cand = ctc_prefix_score_all(
+        scores, cand, cand_ids = ctc_prefix_score_all(
             state, lp, jnp.asarray([T]), blank=BLANK, eos=EOS
         )
         np_lp = np.asarray(lp)[0]
@@ -79,12 +79,12 @@ class TestCtcPrefixScorer:
     def test_second_step_scores(self, logp):
         lp, T, V = logp
         state = ctc_prefix_init(lp, blank=BLANK)
-        scores1, cand = ctc_prefix_score_all(
+        scores1, cand, cand_ids = ctc_prefix_score_all(
             state, lp, jnp.asarray([T]), blank=BLANK, eos=EOS
         )
-        first = 1  # commit token 1
-        state2 = ctc_prefix_select(cand, jnp.asarray([first]))
-        scores2, _ = ctc_prefix_score_all(
+        first = 1  # commit token 1 (full-vocab candidates: k == id)
+        state2 = ctc_prefix_select(cand, cand_ids, jnp.asarray([first]))
+        scores2, _, _ = ctc_prefix_score_all(
             state2, lp, jnp.asarray([T]), blank=BLANK, eos=EOS
         )
         np_lp = np.asarray(lp)[0]
@@ -101,9 +101,26 @@ class TestCtcPrefixScorer:
     def test_shorter_input_length(self, logp):
         lp, T, V = logp
         state = ctc_prefix_init(lp, blank=BLANK)
-        scores, _ = ctc_prefix_score_all(
+        scores, _, _ = ctc_prefix_score_all(
             state, lp, jnp.asarray([2]), blank=BLANK, eos=EOS
         )
         np_lp = np.asarray(lp)[0, :2]
         expected = brute_force_prefix_prob(np_lp, [1], 2, V)
         assert float(np.exp(scores[0, 1])) == pytest.approx(expected, rel=1e-4)
+
+
+    def test_partial_candidates_match_full(self, logp):
+        lp, T, V = logp
+        state = ctc_prefix_init(lp, blank=BLANK)
+        full, _, _ = ctc_prefix_score_all(
+            state, lp, jnp.asarray([T]), blank=BLANK, eos=EOS
+        )
+        cands = jnp.asarray([[1, 3, EOS]])
+        part, _, ids = ctc_prefix_score_all(
+            state, lp, jnp.asarray([T]), blank=BLANK, eos=EOS,
+            candidates=cands,
+        )
+        for k, c in enumerate([1, 3, EOS]):
+            assert float(part[0, k]) == pytest.approx(
+                float(full[0, c]), rel=1e-5
+            )

@@ -68,12 +68,25 @@ def main():
 
     @jax.jit
     def encode(params_cnn, params_tr, cmvn_state, wavs, wav_lens):
-        feats = fbank(wavs)
+        feats = fbank(wavs)                      # fp32 feature extraction
         feats = cmvn_apply(cmvn_state, feats)
-        src = cnn.apply(params_cnn, feats)
+        src = cnn.apply(params_cnn, feats.astype(jnp.bfloat16))
         return transformer.apply(
             params_tr, src, wav_lens, method=transformer.encode
         )
+
+    # bf16 inference: matmul-bound stages at MXU-native precision; the beam
+    # scoring itself stays fp32 (log_softmax upcasts inside the search)
+    def to_bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree,
+        )
+
+    tr_params = to_bf16(tr_params)
+    seq_params = to_bf16(seq_params)
+    cnn_params = to_bf16(cnn_params)
 
     searcher = MultiTaskBeamSearch(
         [transformer, seq_lin, None],

@@ -63,6 +63,7 @@ class TransformerMultiTask(nn.Module):
     attention_type: str = "regularMHA"
     max_length: int = 2500
     causal: bool = False
+    remat: bool = False   # rematerialize encoder layers (large presets)
 
     def setup(self):
         if self.attention_type not in ("regularMHA", "RelPosMHAXL"):
@@ -96,7 +97,7 @@ class TransformerMultiTask(nn.Module):
             self.encoder = TransformerEncoder(
                 self.num_encoder_layers, self.d_model, self.nhead,
                 self.d_ffn, self.dropout, act, self.normalize_before,
-                self.attention_type, name="encoder",
+                self.attention_type, self.remat, name="encoder",
             )
         # the decoder is always a Transformer (reference
         # TransformerMultiTask.py:62-63); with RelPosMHAXL the reference's

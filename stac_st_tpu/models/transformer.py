@@ -293,10 +293,15 @@ class TransformerEncoder(nn.Module):
     activation: Callable = jax.nn.gelu
     normalize_before: bool = True
     attention_type: str = "regularMHA"
+    remat: bool = False  # per-layer rematerialization (large presets)
 
     def setup(self):
+        layer_cls = (
+            nn.remat(EncoderLayer, static_argnums=(3,))
+            if self.remat else EncoderLayer
+        )
         self.layers = [
-            EncoderLayer(
+            layer_cls(
                 self.d_model, self.nhead, self.d_ffn, self.dropout,
                 self.activation, self.normalize_before, self.attention_type,
                 name=f"layer_{i}"

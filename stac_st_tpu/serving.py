@@ -1,0 +1,262 @@
+"""STEngine: production batched inference API (load once, decode many).
+
+The reference has no serving story — inference is a batch recipe
+(``stac-st/inference.py``). For deployment this engine wraps the whole stack
+behind two calls::
+
+    engine = STEngine.from_experiment("exp/stac-st/3333", "tok/5000_bpe.model")
+    texts = engine.translate(wavs)        # es -> en ST
+    texts = engine.transcribe(wavs)       # es ASR
+    events = engine.speaker_turns(wavs)   # CTC-spike [turn]/[xt] events
+
+TPU-native serving design:
+* inputs are bucketed to a fixed grid of audio lengths (default powers-of-2
+  seconds) so the engine compiles a handful of kernels once and reuses them
+  for any traffic mix;
+* ASR and ST share one encoder pass per batch (the reference's
+  encoder-once/decode-twice flow) and the language prompt is runtime data —
+  switching tasks or language pairs never recompiles;
+* parameters are held in bf16 for MXU-rate matmuls; features and beam
+  scoring stay fp32.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.audio import read_audio
+from .decoding.beam_search import MultiTaskBeamSearch
+from .models import ConvolutionFrontEnd, LinearHead, TransformerMultiTask
+from .ops import Fbank
+from .ops.cmvn import CmvnState, cmvn_apply, cmvn_init
+from .tokenizer import SentencePieceProcessor
+from .utils.rttm import extract_turn_events
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["STEngine"]
+
+_BUCKET_SECONDS = (2.0, 4.0, 8.0, 16.0, 32.0)
+
+
+class STEngine:
+    def __init__(
+        self,
+        transformer: TransformerMultiTask,
+        cnn: ConvolutionFrontEnd,
+        seq_lin: LinearHead,
+        ctc_lin: Optional[LinearHead],
+        params: Dict,
+        cmvn: CmvnState,
+        tokenizer,
+        source_lang: str = "es",
+        target_lang: str = "en",
+        beam_size: int = 10,
+        sample_rate: int = 16000,
+        bucket_seconds: Sequence[float] = _BUCKET_SECONDS,
+        bf16: bool = True,
+        turn_id: int = 7,
+        xt_id: int = 8,
+    ):
+        self.tokenizer = tokenizer
+        self.sample_rate = int(sample_rate)
+        self.buckets = tuple(sorted(bucket_seconds))
+        self.source_lang = source_lang
+        self.target_lang = target_lang
+        self.turn_id, self.xt_id = turn_id, xt_id
+        self._fbank = Fbank(sample_rate=sample_rate)
+        self._cnn = cnn
+        self._transformer = transformer
+        self._ctc_lin = ctc_lin
+        self.cmvn = cmvn
+
+        if bf16:
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t
+            )
+            params = {
+                k: (cast(v) if k != "normalize" else v)
+                for k, v in params.items()
+            }
+        self.params = params
+        self._bf16 = bf16
+
+        self.searcher = MultiTaskBeamSearch(
+            [transformer, seq_lin, ctc_lin],
+            bos_index=1, eos_index=2, blank_index=0,
+            min_decode_ratio=0.0, max_decode_ratio=1.0,
+            beam_size=int(beam_size), using_eos_threshold=True,
+            length_normalization=True, temperature=1.15,
+        )
+        self.searcher.bind(params["Transformer"], params["seq_lin"])
+
+        cnn_def, tr_def, fbank = self._cnn, self._transformer, self._fbank
+        use_bf16 = bf16
+
+        @jax.jit
+        def _encode(params, cmvn, wavs, wav_lens):
+            feats = fbank(wavs)
+            feats = cmvn_apply(cmvn, feats)
+            if use_bf16:
+                feats = feats.astype(jnp.bfloat16)
+            src = cnn_def.apply(params["CNN"], feats)
+            enc = tr_def.apply(
+                params["Transformer"], src, wav_lens, method=tr_def.encode
+            )
+            return enc
+
+        self._encode = _encode
+
+        if ctc_lin is not None:
+            @jax.jit
+            def _ctc_argmax(params, enc):
+                logits = ctc_lin.apply(params["ctc_lin"], enc)
+                return jnp.argmax(logits, axis=-1)
+
+            self._ctc_argmax = _ctc_argmax
+        else:
+            self._ctc_argmax = None
+
+    # ------------------------------------------------------------ factories
+    @classmethod
+    def from_experiment(
+        cls, pretrained_path: str, tokenizer_file: str,
+        d_model: int = 256, nhead: int = 4, num_encoder_layers: int = 12,
+        num_decoder_layers: int = 6, d_ffn: int = 1024, vocab: int = 5000,
+        **kw,
+    ) -> "STEngine":
+        """Load averaged weights from a training experiment's save dir."""
+        import os
+
+        from flax import serialization
+
+        from .training.checkpoint import Checkpointer, average_checkpoints
+
+        tokenizer = SentencePieceProcessor(tokenizer_file)
+        cnn = ConvolutionFrontEnd()
+        transformer = TransformerMultiTask(
+            tgt_vocab=vocab, input_size=5120, d_model=d_model, nhead=nhead,
+            num_encoder_layers=num_encoder_layers,
+            num_decoder_layers=num_decoder_layers, d_ffn=d_ffn,
+            dropout=0.1, normalize_before=True,
+        )
+        seq_lin = LinearHead(input_size=d_model, n_neurons=vocab)
+        ctc_lin = LinearHead(input_size=d_model, n_neurons=vocab)
+
+        ckpt_dir = os.path.join(pretrained_path, "save")
+        ckpts = Checkpointer(ckpt_dir).find_checkpoints(max_key="ACC")
+        if not ckpts:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+        raw = average_checkpoints(ckpts, "model")
+        # template init for from_state_dict
+        rng = jax.random.PRNGKey(0)
+        feats = jnp.zeros((1, 101, 80))
+        cnn_p = cnn.init(rng, feats)
+        src = cnn.apply(cnn_p, feats)
+        tr_p = transformer.init(rng, src, jnp.ones((1, 4), jnp.int32))
+        enc = transformer.apply(tr_p, src, method=transformer.encode)
+        template = {
+            "CNN": cnn_p,
+            "Transformer": tr_p,
+            "seq_lin": seq_lin.init(rng, enc),
+            "ctc_lin": ctc_lin.init(rng, enc),
+        }
+        params = serialization.from_state_dict(template, raw)
+        cmvn = cmvn_init(80)
+        if "normalizer" in ckpts[0].names():
+            n = ckpts[0].load("normalizer")
+            cmvn = CmvnState(
+                mean=jnp.asarray(n["mean"]), std=jnp.asarray(n["std"]),
+                count=jnp.asarray(n["count"]),
+            )
+        return cls(transformer, cnn, seq_lin, ctc_lin, params, cmvn,
+                   tokenizer, **kw)
+
+    # ------------------------------------------------------------- internal
+    def _bucket_width(self, n_samples: int) -> int:
+        seconds = n_samples / self.sample_rate
+        for b in self.buckets:
+            if seconds <= b:
+                return int(b * self.sample_rate)
+        return int(
+            math.ceil(seconds / self.buckets[-1]) * self.buckets[-1]
+            * self.sample_rate
+        )
+
+    def _prepare(self, wavs: Sequence[np.ndarray]):
+        """Group inputs by bucket; returns list of (indices, array, lens)."""
+        by_width: Dict[int, List[int]] = {}
+        arrays = []
+        for i, wav in enumerate(wavs):
+            wav = np.asarray(wav, np.float32)
+            arrays.append(wav)
+            by_width.setdefault(self._bucket_width(len(wav)), []).append(i)
+        groups = []
+        for width, idx in sorted(by_width.items()):
+            batch = np.zeros((len(idx), width), np.float32)
+            lens = np.zeros((len(idx),), np.float32)
+            for row, i in enumerate(idx):
+                batch[row, : len(arrays[i])] = arrays[i]
+                lens[row] = len(arrays[i]) / width
+            groups.append((idx, jnp.asarray(batch), jnp.asarray(lens)))
+        return groups
+
+    def _decode(self, wavs, src_lang: str, tgt_lang: str) -> List[str]:
+        sp = self.tokenizer
+        src_id = sp.encode_as_ids(f"[{src_lang}]")[-1]
+        tgt_id = sp.encode_as_ids(f"[{tgt_lang}]")[-1]
+        out: List[Optional[str]] = [None] * len(wavs)
+        for idx, batch, lens in self._prepare(wavs):
+            enc = self._encode(self.params, self.cmvn, batch, lens)
+            self.searcher.set_decoder_prefix_tokens(src_id, tgt_id)
+            hyps, _ = self.searcher(enc, lens)
+            for row, i in enumerate(idx):
+                out[i] = sp.decode_ids(hyps[row])
+        return out  # type: ignore[return-value]
+
+    # ------------------------------------------------------------------ API
+    def load_audio(self, path: str) -> np.ndarray:
+        return read_audio(path, sample_rate=self.sample_rate)[0]
+
+    def translate(self, wavs: Sequence[np.ndarray],
+                  source_lang: Optional[str] = None,
+                  target_lang: Optional[str] = None) -> List[str]:
+        return self._decode(
+            wavs, source_lang or self.source_lang,
+            target_lang or self.target_lang,
+        )
+
+    def transcribe(self, wavs: Sequence[np.ndarray],
+                   source_lang: Optional[str] = None) -> List[str]:
+        lang = source_lang or self.source_lang
+        return self._decode(wavs, lang, lang)
+
+    def speaker_turns(self, wavs: Sequence[np.ndarray]) -> List[Dict]:
+        """Per-input [turn]/[xt] events (seconds) from the CTC head."""
+        if self._ctc_argmax is None:
+            raise RuntimeError("engine built without a CTC head")
+        results: List[Optional[Dict]] = [None] * len(wavs)
+        for idx, batch, lens in self._prepare(wavs):
+            enc = self._encode(self.params, self.cmvn, batch, lens)
+            am = np.asarray(self._ctc_argmax(self.params, enc))
+            ids = [f"utt{i}-0-0-0" for i in idx]
+            events = extract_turn_events(
+                ids, am, {"turn": self.turn_id, "xt": self.xt_id}
+            )
+            for row, i in enumerate(idx):
+                results[i] = {
+                    name: [
+                        float(line.split()[3])
+                        for line in events[name]
+                        if line.split()[1] == ids[row]
+                    ]
+                    for name in ("turn", "xt")
+                }
+        return results  # type: ignore[return-value]

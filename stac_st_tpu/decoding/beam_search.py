@@ -360,6 +360,7 @@ class MultiTaskBeamSearch:
         source_lang: int = -100,
         target_lang: int = -100,
         mask_encoder_padding: bool = False,
+        max_decode_tokens: Optional[int] = None,
         **unused,
     ):
         self.model_def = modules[0]
@@ -379,6 +380,13 @@ class MultiTaskBeamSearch:
             ctc_weight=float(ctc_weight),
         )
         self.mask_encoder_padding = bool(mask_encoder_padding)
+        # serving-level cap on decode steps (the reference semantic is
+        # max_decode_ratio × enc frames — 250 steps for 10 s audio — but
+        # conversational ST outputs are tens of tokens; a cap bounds the
+        # compiled loop without changing results when hyps finish earlier)
+        self.max_decode_tokens = (
+            int(max_decode_tokens) if max_decode_tokens else None
+        )
         self.bos_token = int(bos_index)
         self.source_lang = int(source_lang)
         self.target_lang = int(target_lang)
@@ -460,6 +468,8 @@ class MultiTaskBeamSearch:
         enc_out = jnp.asarray(enc_out)
         S = enc_out.shape[1]
         max_steps = max(int(self.config.max_decode_ratio * S), 1)
+        if self.max_decode_tokens is not None:
+            max_steps = min(max_steps, self.max_decode_tokens)
         prompt = jnp.asarray(self.decoder_input_tokens, jnp.int32)
         enc_bias = None
         if self.mask_encoder_padding and wav_lens is not None:

@@ -58,6 +58,7 @@ class STEngine:
         source_lang: str = "es",
         target_lang: str = "en",
         beam_size: int = 10,
+        max_decode_tokens: int = 192,
         sample_rate: int = 16000,
         bucket_seconds: Sequence[float] = _BUCKET_SECONDS,
         bf16: bool = True,
@@ -94,6 +95,7 @@ class STEngine:
             min_decode_ratio=0.0, max_decode_ratio=1.0,
             beam_size=int(beam_size), using_eos_threshold=True,
             length_normalization=True, temperature=1.15,
+            max_decode_tokens=max_decode_tokens,
         )
         self.searcher.bind(params["Transformer"], params["seq_lin"])
 

@@ -83,3 +83,23 @@ def test_reference_yaml_key_surface_loads():
 
     assert isinstance(h["lr_scheduler"], WarmCoolDecayLRSchedule)
     assert h["lr_scheduler"].decay_every == pytest.approx(7500.0)
+
+
+@pytest.mark.parametrize("yaml_name,overrides", [
+    ("transformer_inference.yaml",
+     {"pretrained_path": "/tmp/p", "inference_splits": "a/b",
+      "tokenizer_file": "/tmp/t"}),
+    ("transformer_only_asr.yaml",
+     {"data_folder": "/tmp/d", "tokenizer_file": "/tmp/t"}),
+    ("transformer_only_st.yaml",
+     {"data_folder": "/tmp/d", "tokenizer_file": "/tmp/t"}),
+    ("transformer_fisher_cv_xx_to_xx.yaml",
+     {"data_folder": "/tmp/d", "tokenizer_file": "/tmp/t",
+      "source_locale": "es", "target_locale": "en"}),
+])
+def test_all_reference_yamls_load(yaml_name, overrides):
+    """Every reference hparams file is a frozen contract — all must load."""
+    path = f"/root/reference/stac-st/hparams/{yaml_name}"
+    with open(path) as f:
+        h = load_hyperpyyaml(f, overrides)
+    assert "tokenizer" in h

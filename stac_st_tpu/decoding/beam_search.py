@@ -434,16 +434,44 @@ class MultiTaskBeamSearch:
             )
             return seq_def.apply(params["s"], hidden), cache
 
+        def _chunked_take(arr, parent, idx, chunk=64):
+            """Permute only chunks holding written positions (< idx).
+
+            Unwritten chunks are identical zeros across beams, so skipping
+            them is exact; this turns the per-step O(S) gather traffic into
+            the triangular O(written) — the decode loop's bandwidth bill.
+            """
+            B, S, H, Dh = arr.shape
+            if S <= chunk:
+                return jnp.take(arr, parent, axis=0)
+            n_chunks = -(-S // chunk)
+            pad = n_chunks * chunk - S
+            arr_p = jnp.pad(arr, ((0, 0), (0, pad), (0, 0), (0, 0)))
+
+            def body(c, out):
+                sl = jax.lax.dynamic_slice(
+                    arr_p, (0, c * chunk, 0, 0), (B, chunk, H, Dh)
+                )
+                sl = jnp.take(sl, parent, axis=0)
+                return jax.lax.dynamic_update_slice(
+                    out, sl, (0, c * chunk, 0, 0)
+                )
+
+            n_active = (idx + chunk - 1) // chunk
+            out = jax.lax.fori_loop(0, n_active, body, arr_p)
+            return out[:, :S]
+
         def cache_gather_fn(cache, flat_parent):
             new_layers = []
             for layer in cache["layers"]:
                 self_c = layer["self"]
+                idx = self_c["index"]
                 new_layers.append({
                     **layer,
                     "self": {
-                        "k": jnp.take(self_c["k"], flat_parent, axis=0),
-                        "v": jnp.take(self_c["v"], flat_parent, axis=0),
-                        "index": self_c["index"],
+                        "k": _chunked_take(self_c["k"], flat_parent, idx),
+                        "v": _chunked_take(self_c["v"], flat_parent, idx),
+                        "index": idx,
                     },
                 })
             return {**cache, "layers": new_layers}

@@ -115,9 +115,15 @@ class MultiHeadAttention(nn.Module):
             self._split(self.v_proj(key_value)),
         )
 
+    # decode cache is processed in chunks: only chunks covering written
+    # positions are read each step, cutting cache HBM traffic from
+    # O(S·steps) to the triangular O(S·steps/2) — the decode hot loop is
+    # bandwidth-bound on exactly this traffic (see bench notes).
+    CACHE_CHUNK = 64
+
     def step(self, query, cache: Dict[str, Any], bias=None):
         """Single decode step: query (B, 1, d); appends K/V to the cache."""
-        q = self._split(self.q_proj(query))
+        q = self._split(self.q_proj(query))  # (B, 1, H, Dh)
         k_new = self._split(self.k_proj(query))
         v_new = self._split(self.v_proj(query))
         idx = cache["index"]
@@ -127,14 +133,60 @@ class MultiHeadAttention(nn.Module):
         v = jax.lax.dynamic_update_slice(
             cache["v"], v_new.astype(cache["v"].dtype), (0, idx, 0, 0)
         )
-        S = k.shape[1]
-        # causal-by-construction: mask positions beyond the write index
-        pos_bias = jnp.where(
-            jnp.arange(S)[None, None, None, :] > idx, -1e9, 0.0
-        )
-        if bias is not None:
-            pos_bias = pos_bias + bias
-        out, _ = self._attend(q, k, v, pos_bias, deterministic=True)
+        B, S, H, Dh = k.shape
+        chunk = self.CACHE_CHUNK
+        scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+
+        if S <= chunk:
+            pos_bias = jnp.where(
+                jnp.arange(S)[None, None, None, :] > idx, -1e9, 0.0
+            )
+            if bias is not None:
+                pos_bias = pos_bias + bias
+            out, _ = self._attend(q, k, v, pos_bias, deterministic=True)
+            return out, {"k": k, "v": v, "index": idx + 1}
+
+        # online-softmax over active chunks only (fori_loop with a
+        # data-dependent trip count — positions beyond idx are never read)
+        n_chunks = -(-S // chunk)
+        k_pad = jnp.pad(k, ((0, 0), (0, n_chunks * chunk - S), (0, 0), (0, 0)))
+        v_pad = jnp.pad(v, ((0, 0), (0, n_chunks * chunk - S), (0, 0), (0, 0)))
+        n_active = idx // chunk + 1
+
+        def body(c, carry):
+            m_prev, l_prev, acc = carry
+            start = c * chunk
+            k_c = jax.lax.dynamic_slice(
+                k_pad, (0, start, 0, 0), (B, chunk, H, Dh)
+            )
+            v_c = jax.lax.dynamic_slice(
+                v_pad, (0, start, 0, 0), (B, chunk, H, Dh)
+            )
+            s = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k_c,
+                preferred_element_type=jnp.float32,
+            ) * scale  # (B, H, 1, chunk)
+            pos = start + jnp.arange(chunk)
+            s = jnp.where(pos[None, None, None, :] > idx, -1e9, s)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            rescale = jnp.exp(m_prev - m_new)
+            l_new = l_prev * rescale + jnp.sum(p, axis=-1, keepdims=True)
+            # rescale (B,H,1,1) -> (B,1,H,1) to broadcast over acc (B,1,H,Dh)
+            acc = acc * jnp.swapaxes(rescale, 1, 2) + jnp.einsum(
+                "bhqk,bkhd->bqhd", p.astype(v_c.dtype), v_c,
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc
+
+        m0 = jnp.full((B, H, 1, 1), -1e30, jnp.float32)
+        l0 = jnp.zeros((B, H, 1, 1), jnp.float32)
+        acc0 = jnp.zeros((B, 1, H, Dh), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_active, body, (m0, l0, acc0))
+        # l: (B, H, 1, 1) -> (B, 1, H, 1) to divide acc
+        denom = jnp.maximum(jnp.swapaxes(l, 1, 2), 1e-30)
+        out = (acc / denom).astype(q.dtype)
+        out = self.out_proj(out.reshape(B, 1, self.d_model))
         return out, {"k": k, "v": v, "index": idx + 1}
 
     def step_cross(self, query, k, v, bias=None):

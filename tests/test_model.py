@@ -194,3 +194,32 @@ class TestEncoderVariants:
             method=TransformerMultiTask.decode_step,
         )
         assert out.shape == (2, D_MODEL)
+
+
+class TestChunkedDecodeCache:
+    def test_long_cache_matches_full_decode(self, model_and_params, rng):
+        """The chunked (triangular-traffic) cache path must stay exact when
+        the cache crosses chunk boundaries (CACHE_CHUNK=64)."""
+        model, params = model_and_params
+        B, S, T = 2, 10, 100  # T > 64 exercises the fori_loop chunk path
+        enc_out = jnp.asarray(
+            rng.standard_normal((B, S, D_MODEL)).astype(np.float32)
+        )
+        tokens = jnp.asarray(rng.integers(1, VOCAB, (B, T)))
+        full, _ = model.apply(
+            params, tokens, enc_out, method=TransformerMultiTask.decode
+        )
+        cache = model.apply(
+            params, enc_out, T, method=TransformerMultiTask.init_decode_cache
+        )
+        stepped = []
+        for t in range(T):
+            out, cache = model.apply(
+                params, tokens[:, t], jnp.asarray(t), cache,
+                method=TransformerMultiTask.decode_step,
+            )
+            stepped.append(np.asarray(out))
+        stepped = np.stack(stepped, axis=1)
+        np.testing.assert_allclose(
+            stepped, np.asarray(full), rtol=5e-4, atol=5e-4
+        )

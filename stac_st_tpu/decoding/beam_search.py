@@ -119,7 +119,13 @@ def beam_search(
     if enc_bias is not None:
         enc_bias = jnp.repeat(enc_bias, beam, axis=0)
     prompt_len = prompt.shape[0]
-    cache = init_cache_fn(params, enc_tiled, prompt_len + max_steps, enc_bias)
+    from ..models.transformer import MultiHeadAttention as _MHA
+
+    cache_len = prompt_len + max_steps
+    if _MHA.CACHE_CHUNK:
+        c = _MHA.CACHE_CHUNK
+        cache_len = -(-cache_len // c) * c
+    cache = init_cache_fn(params, enc_tiled, cache_len, enc_bias)
 
     # --- warmup: feed the prompt through the cache ---
     logits = None
@@ -439,18 +445,16 @@ class MultiTaskBeamSearch:
 
             Unwritten chunks are identical zeros across beams, so skipping
             them is exact; this turns the per-step O(S) gather traffic into
-            the triangular O(written) — the decode loop's bandwidth bill.
+            the triangular O(written). Requires a chunk-multiple cache
+            length (the search rounds its allocation).
             """
             B, S, H, Dh = arr.shape
-            if S <= chunk:
+            if S <= chunk or S % chunk:
                 return jnp.take(arr, parent, axis=0)
-            n_chunks = -(-S // chunk)
-            pad = n_chunks * chunk - S
-            arr_p = jnp.pad(arr, ((0, 0), (0, pad), (0, 0), (0, 0)))
 
             def body(c, out):
                 sl = jax.lax.dynamic_slice(
-                    arr_p, (0, c * chunk, 0, 0), (B, chunk, H, Dh)
+                    arr, (0, c * chunk, 0, 0), (B, chunk, H, Dh)
                 )
                 sl = jnp.take(sl, parent, axis=0)
                 return jax.lax.dynamic_update_slice(
@@ -458,21 +462,27 @@ class MultiTaskBeamSearch:
                 )
 
             n_active = (idx + chunk - 1) // chunk
-            out = jax.lax.fori_loop(0, n_active, body, arr_p)
-            return out[:, :S]
+            return jax.lax.fori_loop(0, n_active, body, arr)
 
         def cache_gather_fn(cache, flat_parent):
+            from ..models.transformer import MultiHeadAttention as _MHA
+
+            use_chunks = _MHA.CACHE_CHUNK is not None
             new_layers = []
             for layer in cache["layers"]:
                 self_c = layer["self"]
                 idx = self_c["index"]
+                if use_chunks:
+                    k = _chunked_take(self_c["k"], flat_parent, idx,
+                                      _MHA.CACHE_CHUNK)
+                    v = _chunked_take(self_c["v"], flat_parent, idx,
+                                      _MHA.CACHE_CHUNK)
+                else:
+                    k = jnp.take(self_c["k"], flat_parent, axis=0)
+                    v = jnp.take(self_c["v"], flat_parent, axis=0)
                 new_layers.append({
                     **layer,
-                    "self": {
-                        "k": _chunked_take(self_c["k"], flat_parent, idx),
-                        "v": _chunked_take(self_c["v"], flat_parent, idx),
-                        "index": idx,
-                    },
+                    "self": {"k": k, "v": v, "index": idx},
                 })
             return {**cache, "layers": new_layers}
 

@@ -115,11 +115,14 @@ class MultiHeadAttention(nn.Module):
             self._split(self.v_proj(key_value)),
         )
 
-    # decode cache is processed in chunks: only chunks covering written
-    # positions are read each step, cutting cache HBM traffic from
-    # O(S·steps) to the triangular O(S·steps/2) — the decode hot loop is
-    # bandwidth-bound on exactly this traffic (see bench notes).
-    CACHE_CHUNK = 64
+    # Optional chunked decode cache: only chunks covering written positions
+    # are read per step (triangular instead of full traffic). Measured on
+    # the v5e bench this LOSES to the plain path (90x vs 122x RT — the
+    # fori_loop/dynamic_slice machinery costs more than the saved bytes on
+    # this chip), so it is off by default; flip DECODE_CACHE_CHUNK for
+    # long-budget decoding on bandwidth-rich parts. Exactness is covered by
+    # tests/test_model.py::TestChunkedDecodeCache either way.
+    CACHE_CHUNK = None  # e.g. 64 to enable
 
     def step(self, query, cache: Dict[str, Any], bias=None):
         """Single decode step: query (B, 1, d); appends K/V to the cache."""
@@ -134,7 +137,7 @@ class MultiHeadAttention(nn.Module):
             cache["v"], v_new.astype(cache["v"].dtype), (0, idx, 0, 0)
         )
         B, S, H, Dh = k.shape
-        chunk = self.CACHE_CHUNK
+        chunk = self.CACHE_CHUNK or S
         scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
 
         if S <= chunk:
@@ -147,20 +150,23 @@ class MultiHeadAttention(nn.Module):
             return out, {"k": k, "v": v, "index": idx + 1}
 
         # online-softmax over active chunks only (fori_loop with a
-        # data-dependent trip count — positions beyond idx are never read)
-        n_chunks = -(-S // chunk)
-        k_pad = jnp.pad(k, ((0, 0), (0, n_chunks * chunk - S), (0, 0), (0, 0)))
-        v_pad = jnp.pad(v, ((0, 0), (0, n_chunks * chunk - S), (0, 0), (0, 0)))
+        # data-dependent trip count — positions beyond idx are never read).
+        # The cache length must be a chunk multiple (the beam search rounds
+        # its allocation) — per-step padding would re-pay the full traffic.
+        if S % chunk:
+            raise ValueError(
+                f"decode cache length {S} not a multiple of chunk {chunk}"
+            )
         n_active = idx // chunk + 1
 
         def body(c, carry):
             m_prev, l_prev, acc = carry
             start = c * chunk
             k_c = jax.lax.dynamic_slice(
-                k_pad, (0, start, 0, 0), (B, chunk, H, Dh)
+                k, (0, start, 0, 0), (B, chunk, H, Dh)
             )
             v_c = jax.lax.dynamic_slice(
-                v_pad, (0, start, 0, 0), (B, chunk, H, Dh)
+                v, (0, start, 0, 0), (B, chunk, H, Dh)
             )
             s = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, k_c,

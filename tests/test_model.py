@@ -199,8 +199,13 @@ class TestEncoderVariants:
 class TestChunkedDecodeCache:
     def test_long_cache_matches_full_decode(self, model_and_params, rng):
         """The chunked (triangular-traffic) cache path must stay exact when
-        the cache crosses chunk boundaries (CACHE_CHUNK=64)."""
+        the cache crosses chunk boundaries (opt-in CACHE_CHUNK=64)."""
+        from stac_st_tpu.models.transformer import MultiHeadAttention
+
         model, params = model_and_params
+        old = MultiHeadAttention.CACHE_CHUNK
+        MultiHeadAttention.CACHE_CHUNK = 64
+        CACHE_LEN = 128  # chunk multiple (the search rounds its allocation)
         B, S, T = 2, 10, 100  # T > 64 exercises the fori_loop chunk path
         enc_out = jnp.asarray(
             rng.standard_normal((B, S, D_MODEL)).astype(np.float32)
@@ -210,7 +215,8 @@ class TestChunkedDecodeCache:
             params, tokens, enc_out, method=TransformerMultiTask.decode
         )
         cache = model.apply(
-            params, enc_out, T, method=TransformerMultiTask.init_decode_cache
+            params, enc_out, CACHE_LEN,
+            method=TransformerMultiTask.init_decode_cache,
         )
         stepped = []
         for t in range(T):
@@ -220,6 +226,7 @@ class TestChunkedDecodeCache:
             )
             stepped.append(np.asarray(out))
         stepped = np.stack(stepped, axis=1)
+        MultiHeadAttention.CACHE_CHUNK = old
         np.testing.assert_allclose(
             stepped, np.asarray(full), rtol=5e-4, atol=5e-4
         )

@@ -236,3 +236,37 @@ class TestEndToEnd:
             acc.append(np.asarray(p_seq), dev["tokens_eos"],
                        dev["tokens_eos_len"])
         assert acc.summarize() > 0.5
+
+
+class TestEvaluate:
+    def test_four_ref_test_split(self, trained, tmp_path_factory):
+        """trainer.evaluate on a 4-reference ST split: BLEU computed via
+        append_4gt, stats + CSV files written (reference test loop,
+        train_multitask.py:694-726)."""
+        import json
+
+        trainer = trained["trainer"]
+        corpus = trained["corpus"]
+        tmp = tmp_path_factory.mktemp("eval4")
+
+        with open(corpus["st"]) as f:
+            data = json.load(f)
+        for entry in data.values():
+            for i in range(1, 4):
+                entry[f"translation_{i}"] = entry["translation_0"]
+        manifest = tmp / "data-st.json"
+        manifest.write_text(json.dumps(data))
+
+        dataset = SpeechDataset(
+            str(manifest), tokenizer=corpus["sp"],
+            replacements={"data_root": corpus["root"]},
+        )
+        loader = BatchLoader(dataset, batch_size=4, token_pad_multiple=16)
+        trainer.hparams["bleu_file"] = str(tmp / "bleu_test.txt")
+        trainer.hparams["bleu_file_no_turn"] = str(tmp / "bleu_nt.txt")
+        stats = trainer.evaluate(loader, average_first=False)
+        assert "BLEU" in stats and np.isfinite(stats["BLEU"])
+        assert (tmp / "bleu_test.txt").exists()
+        content = (tmp / "bleu_test.txt").read_text()
+        assert content.startswith("BLEU:")
+        assert (tmp / "bleu_test.csv").exists()

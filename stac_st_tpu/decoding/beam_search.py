@@ -119,13 +119,7 @@ def beam_search(
     if enc_bias is not None:
         enc_bias = jnp.repeat(enc_bias, beam, axis=0)
     prompt_len = prompt.shape[0]
-    from ..models.transformer import MultiHeadAttention as _MHA
-
-    cache_len = prompt_len + max_steps
-    if _MHA.CACHE_CHUNK:
-        c = _MHA.CACHE_CHUNK
-        cache_len = -(-cache_len // c) * c
-    cache = init_cache_fn(params, enc_tiled, cache_len, enc_bias)
+    cache = init_cache_fn(params, enc_tiled, prompt_len + max_steps, enc_bias)
 
     # --- warmup: feed the prompt through the cache ---
     logits = None
@@ -440,49 +434,17 @@ class MultiTaskBeamSearch:
             )
             return seq_def.apply(params["s"], hidden), cache
 
-        def _chunked_take(arr, parent, idx, chunk=64):
-            """Permute only chunks holding written positions (< idx).
-
-            Unwritten chunks are identical zeros across beams, so skipping
-            them is exact; this turns the per-step O(S) gather traffic into
-            the triangular O(written). Requires a chunk-multiple cache
-            length (the search rounds its allocation).
-            """
-            B, S, H, Dh = arr.shape
-            if S <= chunk or S % chunk:
-                return jnp.take(arr, parent, axis=0)
-
-            def body(c, out):
-                sl = jax.lax.dynamic_slice(
-                    arr, (0, c * chunk, 0, 0), (B, chunk, H, Dh)
-                )
-                sl = jnp.take(sl, parent, axis=0)
-                return jax.lax.dynamic_update_slice(
-                    out, sl, (0, c * chunk, 0, 0)
-                )
-
-            n_active = (idx + chunk - 1) // chunk
-            return jax.lax.fori_loop(0, n_active, body, arr)
-
         def cache_gather_fn(cache, flat_parent):
-            from ..models.transformer import MultiHeadAttention as _MHA
-
-            use_chunks = _MHA.CACHE_CHUNK is not None
             new_layers = []
             for layer in cache["layers"]:
                 self_c = layer["self"]
-                idx = self_c["index"]
-                if use_chunks:
-                    k = _chunked_take(self_c["k"], flat_parent, idx,
-                                      _MHA.CACHE_CHUNK)
-                    v = _chunked_take(self_c["v"], flat_parent, idx,
-                                      _MHA.CACHE_CHUNK)
-                else:
-                    k = jnp.take(self_c["k"], flat_parent, axis=0)
-                    v = jnp.take(self_c["v"], flat_parent, axis=0)
                 new_layers.append({
                     **layer,
-                    "self": {"k": k, "v": v, "index": idx},
+                    "self": {
+                        "k": jnp.take(self_c["k"], flat_parent, axis=0),
+                        "v": jnp.take(self_c["v"], flat_parent, axis=0),
+                        "index": self_c["index"],
+                    },
                 })
             return {**cache, "layers": new_layers}
 

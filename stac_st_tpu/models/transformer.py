@@ -108,97 +108,75 @@ class MultiHeadAttention(nn.Module):
         v = self._split(self.v_proj(value))
         return self._attend(q, k, v, bias, deterministic)
 
-    def project_kv(self, key_value):
-        """Precompute K/V (used for cross-attention caches)."""
-        return (
-            self._split(self.k_proj(key_value)),
-            self._split(self.v_proj(key_value)),
-        )
+    # ---- decode mode: attention-native cache layouts -------------------
+    # Per-step attention with (B, S, H, Dh) caches forces XLA to transpose
+    # the full K/V each step (bhqk einsums) — measured as the dominant cost
+    # of the decode loop. Caches therefore live in the layouts the batched
+    # matmuls consume directly: Kᵀ as (B, H, Dh, S) and V as (B, H, S, Dh);
+    # each step is then two plain jnp.matmul's with zero data movement.
 
-    # Optional chunked decode cache: only chunks covering written positions
-    # are read per step (triangular instead of full traffic). Measured on
-    # the v5e bench this LOSES to the plain path (90x vs 122x RT — the
-    # fori_loop/dynamic_slice machinery costs more than the saved bytes on
-    # this chip), so it is off by default; flip DECODE_CACHE_CHUNK for
-    # long-budget decoding on bandwidth-rich parts. Exactness is covered by
-    # tests/test_model.py::TestChunkedDecodeCache either way.
-    CACHE_CHUNK = None  # e.g. 64 to enable
+    def _q_heads(self, query):
+        B = query.shape[0]
+        q = self.q_proj(query).reshape(B, 1, self.nhead, self.head_dim)
+        return jnp.swapaxes(q, 1, 2)  # (B, H, 1, Dh)
+
+    def project_kv_decode(self, key_value):
+        """Precompute cross-attention K/V in decode layouts:
+        (Kᵀ (B, H, Dh, S), V (B, H, S, Dh))."""
+        B, S, _ = key_value.shape
+        k = self.k_proj(key_value).reshape(B, S, self.nhead, self.head_dim)
+        v = self.v_proj(key_value).reshape(B, S, self.nhead, self.head_dim)
+        kT = jnp.transpose(k, (0, 2, 3, 1))
+        return kT, jnp.swapaxes(v, 1, 2)
+
+    def _decode_attend(self, q, kT, v, bias):
+        """q (B,H,1,Dh) · Kᵀ (B,H,Dh,S) → softmax → · V (B,H,S,Dh)."""
+        scale = 1.0 / jnp.sqrt(jnp.asarray(self.head_dim, jnp.float32))
+        logits = jnp.matmul(
+            q, kT, preferred_element_type=jnp.float32
+        ) * scale  # (B, H, 1, S)
+        if bias is not None:
+            logits = logits + bias
+        weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        out = jnp.matmul(
+            weights, v, preferred_element_type=jnp.float32
+        ).astype(q.dtype)  # (B, H, 1, Dh)
+        B = out.shape[0]
+        out = jnp.swapaxes(out, 1, 2).reshape(B, 1, self.d_model)
+        return self.out_proj(out)
 
     def step(self, query, cache: Dict[str, Any], bias=None):
         """Single decode step: query (B, 1, d); appends K/V to the cache."""
-        q = self._split(self.q_proj(query))  # (B, 1, H, Dh)
-        k_new = self._split(self.k_proj(query))
-        v_new = self._split(self.v_proj(query))
+        B = query.shape[0]
+        H, Dh = self.nhead, self.head_dim
+        q = self._q_heads(query)
+        k_new = jnp.swapaxes(
+            self.k_proj(query).reshape(B, 1, H, Dh), 1, 2
+        )  # (B, H, 1, Dh)
+        v_new = jnp.swapaxes(
+            self.v_proj(query).reshape(B, 1, H, Dh), 1, 2
+        )
         idx = cache["index"]
-        k = jax.lax.dynamic_update_slice(
-            cache["k"], k_new.astype(cache["k"].dtype), (0, idx, 0, 0)
+        kT = jax.lax.dynamic_update_slice(
+            cache["k"],
+            jnp.swapaxes(k_new, 2, 3).astype(cache["k"].dtype),
+            (0, 0, 0, idx),
         )
         v = jax.lax.dynamic_update_slice(
-            cache["v"], v_new.astype(cache["v"].dtype), (0, idx, 0, 0)
+            cache["v"], v_new.astype(cache["v"].dtype), (0, 0, idx, 0)
         )
-        B, S, H, Dh = k.shape
-        chunk = self.CACHE_CHUNK or S
-        scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+        S = kT.shape[-1]
+        pos_bias = jnp.where(
+            jnp.arange(S)[None, None, None, :] > idx, -1e9, 0.0
+        )
+        if bias is not None:
+            pos_bias = pos_bias + bias
+        out = self._decode_attend(q, kT, v, pos_bias)
+        return out, {"k": kT, "v": v, "index": idx + 1}
 
-        if S <= chunk:
-            pos_bias = jnp.where(
-                jnp.arange(S)[None, None, None, :] > idx, -1e9, 0.0
-            )
-            if bias is not None:
-                pos_bias = pos_bias + bias
-            out, _ = self._attend(q, k, v, pos_bias, deterministic=True)
-            return out, {"k": k, "v": v, "index": idx + 1}
-
-        # online-softmax over active chunks only (fori_loop with a
-        # data-dependent trip count — positions beyond idx are never read).
-        # The cache length must be a chunk multiple (the beam search rounds
-        # its allocation) — per-step padding would re-pay the full traffic.
-        if S % chunk:
-            raise ValueError(
-                f"decode cache length {S} not a multiple of chunk {chunk}"
-            )
-        n_active = idx // chunk + 1
-
-        def body(c, carry):
-            m_prev, l_prev, acc = carry
-            start = c * chunk
-            k_c = jax.lax.dynamic_slice(
-                k, (0, start, 0, 0), (B, chunk, H, Dh)
-            )
-            v_c = jax.lax.dynamic_slice(
-                v, (0, start, 0, 0), (B, chunk, H, Dh)
-            )
-            s = jnp.einsum(
-                "bqhd,bkhd->bhqk", q, k_c,
-                preferred_element_type=jnp.float32,
-            ) * scale  # (B, H, 1, chunk)
-            pos = start + jnp.arange(chunk)
-            s = jnp.where(pos[None, None, None, :] > idx, -1e9, s)
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            rescale = jnp.exp(m_prev - m_new)
-            l_new = l_prev * rescale + jnp.sum(p, axis=-1, keepdims=True)
-            # rescale (B,H,1,1) -> (B,1,H,1) to broadcast over acc (B,1,H,Dh)
-            acc = acc * jnp.swapaxes(rescale, 1, 2) + jnp.einsum(
-                "bhqk,bkhd->bqhd", p.astype(v_c.dtype), v_c,
-                preferred_element_type=jnp.float32,
-            )
-            return m_new, l_new, acc
-
-        m0 = jnp.full((B, H, 1, 1), -1e30, jnp.float32)
-        l0 = jnp.zeros((B, H, 1, 1), jnp.float32)
-        acc0 = jnp.zeros((B, 1, H, Dh), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, n_active, body, (m0, l0, acc0))
-        # l: (B, H, 1, 1) -> (B, 1, H, 1) to divide acc
-        denom = jnp.maximum(jnp.swapaxes(l, 1, 2), 1e-30)
-        out = (acc / denom).astype(q.dtype)
-        out = self.out_proj(out.reshape(B, 1, self.d_model))
-        return out, {"k": k, "v": v, "index": idx + 1}
-
-    def step_cross(self, query, k, v, bias=None):
-        q = self._split(self.q_proj(query))
-        out, _ = self._attend(q, k, v, bias, deterministic=True)
-        return out
+    def step_cross(self, query, kT, v, bias=None):
+        """Cross-attention step against precomputed decode-layout K/V."""
+        return self._decode_attend(self._q_heads(query), kT, v, bias)
 
 
 class FeedForward(nn.Module):
@@ -310,12 +288,14 @@ class DecoderLayer(nn.Module):
 
     # ---- KV-cached single-step mode ------------------------------------
     def init_cache(self, batch: int, max_len: int, memory, dtype=jnp.float32):
+        """Decode-layout caches: self Kᵀ (B, H, Dh, S) / V (B, H, S, Dh),
+        cross K/V precomputed in the same layouts (no per-step transposes)."""
         head_dim = self.d_model // self.nhead
-        k_cross, v_cross = self.cross_attn.project_kv(memory)
+        k_cross, v_cross = self.cross_attn.project_kv_decode(memory)
         return {
             "self": {
-                "k": jnp.zeros((batch, max_len, self.nhead, head_dim), dtype),
-                "v": jnp.zeros((batch, max_len, self.nhead, head_dim), dtype),
+                "k": jnp.zeros((batch, self.nhead, head_dim, max_len), dtype),
+                "v": jnp.zeros((batch, self.nhead, max_len, head_dim), dtype),
                 "index": jnp.zeros((), jnp.int32),
             },
             "cross_k": k_cross,

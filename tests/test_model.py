@@ -196,16 +196,12 @@ class TestEncoderVariants:
         assert out.shape == (2, D_MODEL)
 
 
-class TestChunkedDecodeCache:
+class TestLongDecodeCache:
     def test_long_cache_matches_full_decode(self, model_and_params, rng):
-        """The chunked (triangular-traffic) cache path must stay exact when
-        the cache crosses chunk boundaries (opt-in CACHE_CHUNK=64)."""
-        from stac_st_tpu.models.transformer import MultiHeadAttention
-
+        """The decode-layout cache (Kᵀ (B,H,Dh,S) / V (B,H,S,Dh) — no
+        per-step transposes) must stay exact over long budgets."""
         model, params = model_and_params
-        old = MultiHeadAttention.CACHE_CHUNK
-        MultiHeadAttention.CACHE_CHUNK = 64
-        CACHE_LEN = 128  # chunk multiple (the search rounds its allocation)
+        CACHE_LEN = 128
         B, S, T = 2, 10, 100  # T > 64 exercises the fori_loop chunk path
         enc_out = jnp.asarray(
             rng.standard_normal((B, S, D_MODEL)).astype(np.float32)
@@ -226,7 +222,6 @@ class TestChunkedDecodeCache:
             )
             stepped.append(np.asarray(out))
         stepped = np.stack(stepped, axis=1)
-        MultiHeadAttention.CACHE_CHUNK = old
         np.testing.assert_allclose(
             stepped, np.asarray(full), rtol=5e-4, atol=5e-4
         )

@@ -149,13 +149,24 @@ class MultiHeadAttention(nn.Module):
         """Single decode step: query (B, 1, d); appends K/V to the cache."""
         B = query.shape[0]
         H, Dh = self.nhead, self.head_dim
-        q = self._q_heads(query)
-        k_new = jnp.swapaxes(
-            self.k_proj(query).reshape(B, 1, H, Dh), 1, 2
-        )  # (B, H, 1, Dh)
-        v_new = jnp.swapaxes(
-            self.v_proj(query).reshape(B, 1, H, Dh), 1, 2
-        )
+        # fused QKV: one (d, 3d) matmul instead of three — the decode loop
+        # is per-op-overhead-bound (docs/PERF.md); the param concat is
+        # loop-invariant and hoisted by XLA.
+        w = jnp.concatenate([
+            self.q_proj.variables["params"]["kernel"],
+            self.k_proj.variables["params"]["kernel"],
+            self.v_proj.variables["params"]["kernel"],
+        ], axis=1)
+        b = jnp.concatenate([
+            self.q_proj.variables["params"]["bias"],
+            self.k_proj.variables["params"]["bias"],
+            self.v_proj.variables["params"]["bias"],
+        ])
+        qkv = jnp.matmul(query, w) + b.astype(query.dtype)
+        q_r, k_r, v_r = jnp.split(qkv, 3, axis=-1)
+        q = jnp.swapaxes(q_r.reshape(B, 1, H, Dh), 1, 2)  # (B, H, 1, Dh)
+        k_new = jnp.swapaxes(k_r.reshape(B, 1, H, Dh), 1, 2)
+        v_new = jnp.swapaxes(v_r.reshape(B, 1, H, Dh), 1, 2)
         idx = cache["index"]
         kT = jax.lax.dynamic_update_slice(
             cache["k"],

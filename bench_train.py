@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Secondary benchmark: training throughput (audio-seconds/sec per chip).
+
+(The driver's headline metric is `bench.py`'s inference RTFx; this script
+measures the compiled train step on the flagship small preset for tuning.)
+Reference envelope for context: max_batch_len 450–500 s audio per GPU batch
+on V100-32GB (BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from stac_st_tpu.models import (
+        ConvolutionFrontEnd,
+        LinearHead,
+        TransformerMultiTask,
+    )
+    from stac_st_tpu.ops import Fbank
+    from stac_st_tpu.training.optim import AdamW
+    from stac_st_tpu.training.schedulers import WarmCoolDecayLRSchedule
+    from stac_st_tpu.training.step import (
+        StepConfig,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    BATCH, SECONDS, SR, U = 16, 15.0, 16000, 128
+    VOCAB = 5000
+
+    cfg = StepConfig(
+        fbank=Fbank(),
+        cnn=ConvolutionFrontEnd(),
+        transformer=TransformerMultiTask(
+            tgt_vocab=VOCAB, input_size=5120, d_model=256, nhead=4,
+            num_encoder_layers=12, num_decoder_layers=6, d_ffn=1024,
+            dropout=0.1, normalize_before=True,
+        ),
+        seq_lin=LinearHead(input_size=256, n_neurons=VOCAB),
+        ctc_lin=LinearHead(input_size=256, n_neurons=VOCAB),
+        specaug_opts=None,
+        ctc_weight=0.3,
+        label_smoothing=0.1,
+        loss_reduction="batchmean",
+        pad_index=0,
+        blank_index=0,
+    )
+    tx = make_optimizer(
+        AdamW(lr=1e-3),
+        WarmCoolDecayLRSchedule(1e-3, 1000, 1000, 100000,
+                                decay_every=10000).value,
+        grad_accumulation_factor=1,
+        max_grad_norm=5.0,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "sig": jnp.asarray(
+            rng.standard_normal((BATCH, int(SECONDS * SR))).astype(np.float32)
+        ),
+        "sig_len": jnp.ones((BATCH,), jnp.float32),
+        "tokens": jnp.asarray(rng.integers(3, VOCAB, (BATCH, U)), jnp.int32),
+        "tokens_len": jnp.full((BATCH,), 0.9, jnp.float32),
+        "tokens_bos": jnp.asarray(
+            rng.integers(3, VOCAB, (BATCH, U)), jnp.int32
+        ),
+        "tokens_eos": jnp.asarray(
+            rng.integers(3, VOCAB, (BATCH, U)), jnp.int32
+        ),
+        "tokens_eos_len": jnp.full((BATCH,), 0.9, jnp.float32),
+    }
+    state = init_train_state(cfg, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(cfg, tx)
+    state, m = step(state, batch, jax.random.PRNGKey(1), update_cmvn=True)
+    float(m["loss"])  # force
+
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, m = step(state, batch, jax.random.PRNGKey(i),
+                        update_cmvn=False)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / n
+    audio_per_step = BATCH * SECONDS
+    print(json.dumps({
+        "metric": "train_audio_seconds_per_sec",
+        "value": round(audio_per_step / dt, 1),
+        "unit": "audio_s_per_s_per_chip",
+        "step_ms": round(dt * 1000, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -115,11 +115,13 @@ def beam_search(
     beam = config.beam_size
     BB = B * beam
 
-    enc_tiled = jnp.repeat(enc_out, beam, axis=0)
-    if enc_bias is not None:
-        enc_bias = jnp.repeat(enc_bias, beam, axis=0)
+    # cross-attention K/V is beam-invariant: the cache keeps it per
+    # utterance (B rows) and the decoder groups beams as query length;
+    # only the self-attention caches live at B·beam rows.
     prompt_len = prompt.shape[0]
-    cache = init_cache_fn(params, enc_tiled, prompt_len + max_steps, enc_bias)
+    cache = init_cache_fn(
+        params, enc_out, prompt_len + max_steps, enc_bias, beam
+    )
 
     # --- warmup: feed the prompt through the cache ---
     logits = None
@@ -421,9 +423,9 @@ class MultiTaskBeamSearch:
         model_def = self.model_def
         seq_def = self.seq_lin_def
 
-        def init_cache_fn(params, enc_tiled, max_len, enc_bias=None):
+        def init_cache_fn(params, enc_out, max_len, enc_bias=None, beam=1):
             return model_def.apply(
-                params["t"], enc_tiled, max_len, enc_bias,
+                params["t"], enc_out, max_len, enc_bias, beam,
                 method=model_def.init_decode_cache,
             )
 

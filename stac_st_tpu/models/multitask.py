@@ -201,29 +201,40 @@ class TransformerMultiTask(nn.Module):
 
     # --------------------------------------------------- KV-cached decode
     def init_decode_cache(self, encoder_out, max_len: int,
-                          enc_mask_bias=None):
-        """Build the functional decode cache for a (B, S, d) encoder output."""
+                          enc_mask_bias=None, beam: int = 1):
+        """Build the functional decode cache.
+
+        encoder_out: (B, S, d) — per-utterance, UNTILED even for beam > 1:
+        cross-attention K/V is beam-invariant, so it is stored once per
+        utterance and shared at attention time (docs/PERF.md). Self caches
+        are allocated at B·beam rows. enc_mask_bias: (B, 1, 1, S)."""
         B = encoder_out.shape[0]
         caches = self.decoder.init_cache(
-            B, max_len, encoder_out, dtype=encoder_out.dtype
+            B * beam, max_len, encoder_out, dtype=encoder_out.dtype,
+            beam=beam,
         )
         return {"layers": caches, "enc_bias": enc_mask_bias}
 
     def decode_step(self, tokens, positions, cache):
         """One decode step.
 
-        tokens: (B,) int32 current input tokens;
-        positions: () or (B,) int32 position index (for the PE lookup);
-        cache: from init_decode_cache. Returns ((B, d) hidden, new cache).
+        tokens: (B·beam,) int32 current input tokens;
+        positions: () int32 position index (for the PE lookup);
+        cache: from init_decode_cache. Returns ((B·beam, d) hidden, cache).
         """
-        emb = self.tgt_embed(tokens[:, None])  # (B, 1, d)
+        emb = self.tgt_embed(tokens[:, None])  # (BB, 1, d)
         pos = jnp.asarray(positions)
         pe = jax.lax.dynamic_slice_in_dim(
             self.pe, jnp.reshape(pos, ()), 1, axis=0
         )  # (1, d) — scalar position (shared across batch)
         emb = emb + pe[None, :, :].astype(emb.dtype)
+        # beam is recovered from static shapes: self caches hold B·beam
+        # rows while the shared cross K/V holds B rows.
+        bb = emb.shape[0]
+        b_cross = cache["layers"][0]["cross_k"].shape[0]
+        beam = bb // b_cross
         out, new_layers = self.decoder.step(
-            emb, cache["layers"], cache["enc_bias"]
+            emb, cache["layers"], cache["enc_bias"], beam
         )
         return out[:, 0, :], {**cache, "layers": new_layers}
 

@@ -185,9 +185,35 @@ class MultiHeadAttention(nn.Module):
         out = self._decode_attend(q, kT, v, pos_bias)
         return out, {"k": kT, "v": v, "index": idx + 1}
 
-    def step_cross(self, query, kT, v, bias=None):
-        """Cross-attention step against precomputed decode-layout K/V."""
-        return self._decode_attend(self._q_heads(query), kT, v, bias)
+    def step_cross(self, query, kT, v, bias=None, beam: int = 1):
+        """Cross-attention step against precomputed decode-layout K/V.
+
+        With beam > 1, K/V are stored once per utterance (B rows) while the
+        query carries B·beam rows: the beam dimension rides as the query
+        length of one batched matmul, so the beam-invariant encoder K/V is
+        read once per utterance instead of once per beam — the largest
+        share of decode HBM traffic (docs/PERF.md).
+        """
+        q = self._q_heads(query)  # (B*beam, H, 1, Dh)
+        if beam == 1:
+            return self._decode_attend(q, kT, v, bias)
+        BB = q.shape[0]
+        B = BB // beam
+        H, Dh = self.nhead, self.head_dim
+        qg = q.reshape(B, beam, H, Dh)
+        qg = jnp.swapaxes(qg, 1, 2)  # (B, H, beam, Dh)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+        logits = jnp.matmul(
+            qg, kT, preferred_element_type=jnp.float32
+        ) * scale  # (B, H, beam, S)
+        if bias is not None:
+            logits = logits + bias  # (B, 1, 1, S) broadcasts over beams
+        weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        out = jnp.matmul(
+            weights, v, preferred_element_type=jnp.float32
+        ).astype(q.dtype)  # (B, H, beam, Dh)
+        out = jnp.swapaxes(out, 1, 2).reshape(BB, 1, self.d_model)
+        return self.out_proj(out)
 
 
 class FeedForward(nn.Module):
@@ -298,9 +324,11 @@ class DecoderLayer(nn.Module):
         return x, attn
 
     # ---- KV-cached single-step mode ------------------------------------
-    def init_cache(self, batch: int, max_len: int, memory, dtype=jnp.float32):
-        """Decode-layout caches: self Kᵀ (B, H, Dh, S) / V (B, H, S, Dh),
-        cross K/V precomputed in the same layouts (no per-step transposes)."""
+    def init_cache(self, batch: int, max_len: int, memory, dtype=jnp.float32,
+                   beam: int = 1):
+        """Decode-layout caches: self Kᵀ (B·beam, H, Dh, S) / V (·, H, S, Dh);
+        cross K/V precomputed ONCE per utterance (memory is (B, S, d) —
+        untiled) and shared across beams at attention time."""
         head_dim = self.d_model // self.nhead
         k_cross, v_cross = self.cross_attn.project_kv_decode(memory)
         return {
@@ -313,20 +341,21 @@ class DecoderLayer(nn.Module):
             "cross_v": v_cross,
         }
 
-    def step(self, x, cache, cross_bias=None):
+    def step(self, x, cache, cross_bias=None, beam: int = 1):
         h = self.norm1(x) if self.normalize_before else x
         h, self_cache = self.self_attn.step(h, cache["self"])
         if self.normalize_before:
             x = x + h
             h = self.cross_attn.step_cross(
-                self.norm2(x), cache["cross_k"], cache["cross_v"], cross_bias
+                self.norm2(x), cache["cross_k"], cache["cross_v"],
+                cross_bias, beam,
             )
             x = x + h
             x = x + self.ffn(self.norm3(x), deterministic=True)
         else:
             x = self.norm1(x + h)
             h = self.cross_attn.step_cross(
-                x, cache["cross_k"], cache["cross_v"], cross_bias
+                x, cache["cross_k"], cache["cross_v"], cross_bias, beam
             )
             x = self.norm2(x + h)
             x = self.norm3(x + self.ffn(x, deterministic=True))
@@ -392,15 +421,15 @@ class TransformerDecoder(nn.Module):
         return self.final_norm(x), attn
 
     def init_cache(self, batch: int, max_len: int, memory,
-                   dtype=jnp.float32):
+                   dtype=jnp.float32, beam: int = 1):
         return [
-            layer.init_cache(batch, max_len, memory, dtype)
+            layer.init_cache(batch, max_len, memory, dtype, beam)
             for layer in self.layers
         ]
 
-    def step(self, x, caches, cross_bias=None):
+    def step(self, x, caches, cross_bias=None, beam: int = 1):
         new_caches = []
         for layer, cache in zip(self.layers, caches):
-            x, cache = layer.step(x, cache, cross_bias)
+            x, cache = layer.step(x, cache, cross_bias, beam)
             new_caches.append(cache)
         return self.final_norm(x), new_caches

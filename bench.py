@@ -19,8 +19,16 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("STAC_PALLAS") == "1":
+        from stac_st_tpu.ops import pallas as pallas_mod
+
+        pallas_mod.enable()
+        print("# pallas decode kernels ENABLED", flush=True)
 
     from stac_st_tpu.decoding.beam_search import MultiTaskBeamSearch
     from stac_st_tpu.models import (

@@ -177,6 +177,17 @@ class MultiHeadAttention(nn.Module):
             cache["v"], v_new.astype(cache["v"].dtype), (0, 0, idx, 0)
         )
         S = kT.shape[-1]
+        from ..ops import pallas as pallas_mod
+
+        if pallas_mod.is_enabled() and bias is None:
+            from ..ops.pallas.decode_attention import decode_self_attention
+
+            scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+            q_rows = (q.astype(jnp.float32) * scale).astype(q.dtype)[:, :, 0]
+            attn = decode_self_attention(q_rows, kT, v, idx)  # (B, H, Dh)
+            out = self.out_proj(attn.reshape(B, 1, self.d_model))
+            return out, {"k": kT, "v": v, "index": idx + 1}
+
         pos_bias = jnp.where(
             jnp.arange(S)[None, None, None, :] > idx, -1e9, 0.0
         )
@@ -195,6 +206,20 @@ class MultiHeadAttention(nn.Module):
         share of decode HBM traffic (docs/PERF.md).
         """
         q = self._q_heads(query)  # (B*beam, H, 1, Dh)
+        from ..ops import pallas as pallas_mod
+
+        if pallas_mod.is_enabled():
+            from ..ops.pallas.decode_attention import decode_cross_attention
+
+            BBp = q.shape[0]
+            scale = 1.0 / jnp.sqrt(jnp.asarray(self.head_dim, jnp.float32))
+            q_rows = (q.astype(jnp.float32) * scale).astype(q.dtype)[:, :, 0]
+            bias2d = None
+            if bias is not None:
+                bias2d = bias.reshape(bias.shape[0], bias.shape[-1])
+            attn = decode_cross_attention(q_rows, kT, v, bias2d, beam)
+            return self.out_proj(attn.reshape(BBp, 1, self.d_model))
+
         if beam == 1:
             return self._decode_attend(q, kT, v, bias)
         BB = q.shape[0]

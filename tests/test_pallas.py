@@ -42,3 +42,97 @@ class TestFlashAttention:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
         )
+
+
+class TestDecodeAttentionKernels:
+    def test_self_attention_parity(self, rng):
+        from stac_st_tpu.ops.pallas.decode_attention import (
+            decode_self_attention,
+        )
+
+        BB, H, Dh, S = 6, 4, 64, 40
+        q = jnp.asarray(rng.standard_normal((BB, H, Dh)).astype(np.float32))
+        kT = jnp.asarray(
+            rng.standard_normal((BB, H, Dh, S)).astype(np.float32)
+        )
+        v = jnp.asarray(rng.standard_normal((BB, H, S, Dh)).astype(np.float32))
+        idx = jnp.asarray(17, jnp.int32)
+        out = decode_self_attention(q, kT, v, idx, interpret=True)
+        # reference
+        logits = jnp.einsum("bhd,bhds->bhs", q, kT)
+        mask = jnp.where(jnp.arange(S)[None, None, :] > 17, -1e9, 0.0)
+        w = jax.nn.softmax(logits + mask, axis=-1)
+        ref = jnp.einsum("bhs,bhsd->bhd", w, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_cross_attention_parity_with_beams(self, rng):
+        from stac_st_tpu.ops.pallas.decode_attention import (
+            decode_cross_attention,
+        )
+
+        B, beam, H, Dh, S = 3, 4, 2, 64, 30
+        q = jnp.asarray(
+            rng.standard_normal((B * beam, H, Dh)).astype(np.float32)
+        )
+        kT = jnp.asarray(rng.standard_normal((B, H, Dh, S)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((B, H, S, Dh)).astype(np.float32))
+        bias = jnp.where(
+            jnp.arange(S)[None, :] < 20, 0.0, -1e9
+        ) * jnp.ones((B, S))
+        out = decode_cross_attention(q, kT, v, bias, beam, interpret=True)
+        qg = q.reshape(B, beam, H, Dh)
+        logits = jnp.einsum("bqhd,bhds->bqhs", qg, kT)
+        w = jax.nn.softmax(logits + bias[:, None, None, :], axis=-1)
+        ref = jnp.einsum("bqhs,bhsd->bqhd", w, v).reshape(B * beam, H, Dh)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_model_step_parity_with_kernels(self, rng):
+        """MHA.step with pallas enabled == XLA path (interpret mode)."""
+        import stac_st_tpu.ops.pallas as pallas_mod
+        from stac_st_tpu.models import TransformerMultiTask
+
+        model = TransformerMultiTask(
+            tgt_vocab=30, input_size=16, d_model=64, nhead=1,
+            num_encoder_layers=1, num_decoder_layers=1, d_ffn=32,
+            dropout=0.0, normalize_before=True,
+        )
+        src = jnp.asarray(rng.standard_normal((2, 6, 16)).astype(np.float32))
+        tgt = jnp.asarray(rng.integers(1, 30, (2, 4)))
+        params = model.init(jax.random.PRNGKey(0), src, tgt)
+        enc = model.apply(params, src, method=model.encode)
+
+        def roll(n_steps=4):
+            cache = model.apply(
+                params, enc, n_steps,
+                method=TransformerMultiTask.init_decode_cache,
+            )
+            outs = []
+            for t in range(n_steps):
+                o, cache = model.apply(
+                    params, tgt[:, t], jnp.asarray(t), cache,
+                    method=TransformerMultiTask.decode_step,
+                )
+                outs.append(np.asarray(o))
+            return np.stack(outs)
+
+        base = roll()
+        try:
+            pallas_mod.enable()
+            import stac_st_tpu.ops.pallas.decode_attention as da
+            import functools as ft
+            # force interpret mode on CPU
+            da.decode_self_attention = ft.partial(
+                da.decode_self_attention.__wrapped__, interpret=True
+            ) if hasattr(da.decode_self_attention, "__wrapped__") else \
+                ft.partial(da.decode_self_attention, interpret=True)
+            da.decode_cross_attention = ft.partial(
+                da.decode_cross_attention, interpret=True
+            )
+            fast = roll()
+        finally:
+            pallas_mod.disable()
+        np.testing.assert_allclose(fast, base, rtol=5e-4, atol=5e-4)

@@ -270,3 +270,18 @@ class TestEvaluate:
         content = (tmp / "bleu_test.txt").read_text()
         assert content.startswith("BLEU:")
         assert (tmp / "bleu_test.csv").exists()
+
+
+class TestValidationSearch:
+    def test_dual_asr_st_validation(self, trained):
+        """_validate with search: dual prompted decoding feeds BLEU (ST) and
+        WER (ASR) accumulators (reference compute_forward VALID branch,
+        train_multitask.py:91-136)."""
+        trainer = trained["trainer"]
+        hparams = trained["hparams"]
+        hparams["valid_search_interval"] = 1
+        stats = trainer._validate(trained["loader"], epoch=1)
+        assert "ACC" in stats
+        assert "BLEU" in stats and np.isfinite(stats["BLEU"])
+        assert "WER" in stats and np.isfinite(stats["WER"])
+        assert "BLEU_no_turn" in stats and "WER_no_turn" in stats

@@ -105,11 +105,34 @@ def run_whisper_baseline(
         summary["BLEU"] = bleu.summarize("BLEU")
     else:
         summary["WER"] = wer.summarize("error_rate")
+
+    # per-conversation breakdown (ids share the prefix before the first
+    # '-' — reference eval_whisper reports per conversation, :439-516)
+    per_conv: Dict[str, Dict[str, list]] = {}
+    for uid, ref, hyp in rows:
+        conv = uid.split("-")[0]
+        per_conv.setdefault(conv, {"refs": [], "hyps": [], "ids": []})
+        per_conv[conv]["refs"].append(ref)
+        per_conv[conv]["hyps"].append(hyp)
+        per_conv[conv]["ids"].append(uid)
+    conv_scores: Dict[str, float] = {}
+    for conv, group in per_conv.items():
+        if task == "translate":
+            m = BLEUStats()
+            m.append(group["ids"], group["hyps"], [group["refs"]])
+            conv_scores[conv] = m.summarize("BLEU")
+        else:
+            m = ErrorRateStats()
+            m.append(group["ids"], [h.split() for h in group["hyps"]],
+                     [r.split() for r in group["refs"]])
+            conv_scores[conv] = m.summarize("error_rate")
+
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         base = os.path.splitext(os.path.basename(manifest_path))[0]
         with open(os.path.join(out_dir, f"whisper_{task}_{base}.json"),
                   "w") as f:
-            json.dump({"summary": summary, "outputs": rows}, f, indent=2,
-                      ensure_ascii=False)
+            json.dump({"summary": summary, "per_conversation": conv_scores,
+                       "outputs": rows}, f, indent=2, ensure_ascii=False)
+    summary["per_conversation"] = conv_scores
     return summary

@@ -76,17 +76,46 @@ def main():
         "tokens_eos_len": jnp.full((BATCH,), 0.9, jnp.float32),
     }
     state = init_train_state(cfg, tx, jax.random.PRNGKey(0), batch)
-    step = make_train_step(cfg, tx)
-    state, m = step(state, batch, jax.random.PRNGKey(1), update_cmvn=True)
-    float(m["loss"])  # force
 
-    n = 10
+    # N steps inside ONE jit call: the axon tunnel charges ~1 s dispatch per
+    # call, which would swamp the ~100 ms step; a scan amortizes it the same
+    # way a real input pipeline keeps the device busy.
+    import optax
+    from stac_st_tpu.training.step import _forward, _objectives
+
+    N = 10
+
+    @jax.jit
+    def multi_step(state, batch, key):
+        def body(state, k):
+            def loss_fn(params):
+                p_ctc, p_seq, _, new_cmvn = _forward(
+                    params, state.cmvn, batch, cfg, True, False, k
+                )
+                loss, _ = _objectives(p_ctc, p_seq, batch, cfg)
+                return loss, new_cmvn
+
+            (loss, new_cmvn), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, opt_state = tx.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return state._replace(
+                params=params, opt_state=opt_state, cmvn=new_cmvn
+            ), loss
+
+        keys = jax.random.split(key, N)
+        state, losses = jax.lax.scan(body, state, keys)
+        return state, losses
+
+    state, losses = multi_step(state, batch, jax.random.PRNGKey(1))
+    float(losses[-1])  # compile + force
     t0 = time.perf_counter()
-    for i in range(n):
-        state, m = step(state, batch, jax.random.PRNGKey(i),
-                        update_cmvn=False)
-    float(m["loss"])
-    dt = (time.perf_counter() - t0) / n
+    state, losses = multi_step(state, batch, jax.random.PRNGKey(2))
+    float(losses[-1])
+    dt = (time.perf_counter() - t0) / N
     audio_per_step = BATCH * SECONDS
     print(json.dumps({
         "metric": "train_audio_seconds_per_sec",

@@ -186,3 +186,31 @@ class TestSpeedPerturb:
         assert len(sp(wav, speed=100)) == 16000
         assert abs(len(sp(wav, speed=90)) - 16000 * 100 / 90) < 3
         assert abs(len(sp(wav, speed=110)) - 16000 * 100 / 110) < 3
+
+
+class TestMeshPaddingNeutrality:
+    def test_zero_length_rows_contribute_nothing(self, rng):
+        """Rows added by pad_batch_rows (mesh divisibility) carry zero
+        relative lengths and must contribute exactly zero loss."""
+        B, T, C, U = 3, 20, 10, 8
+        logp = jax.nn.log_softmax(
+            jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+        )
+        tokens = jnp.asarray(rng.integers(1, C, (B, U)))
+        in_lens = jnp.asarray([1.0, 0.8, 0.0])
+        tgt_lens = jnp.asarray([1.0, 0.5, 0.0])
+        full = ctc_loss(logp, tokens, in_lens, tgt_lens, 0, "batchmean")
+        ref = ctc_loss(logp[:2], tokens[:2], in_lens[:2], tgt_lens[:2], 0,
+                       "batchmean")
+        assert np.isfinite(float(full))
+        # batchmean: padded row only changes the divisor, adds no mass
+        np.testing.assert_allclose(float(full) * B, float(ref) * 2, atol=1e-4)
+
+        tgt_full = jnp.asarray(rng.integers(1, C, (B, T)))
+        nll = nll_loss(logp, tgt_full, jnp.asarray([1.0, 0.5, 0.0]),
+                       reduction="batchmean")
+        nll_ref = nll_loss(logp[:2], tgt_full[:2], jnp.asarray([1.0, 0.5]),
+                           reduction="batchmean")
+        np.testing.assert_allclose(
+            float(nll) * B, float(nll_ref) * 2, rtol=1e-5
+        )

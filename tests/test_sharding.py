@@ -94,3 +94,65 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestTensorParallel:
+    def test_tp_step_matches_single_device(self):
+        """(data=4, model=2) mesh with Megatron-style param sharding must
+        reproduce the single-device train step (GSPMD inserts the TP
+        collectives from the parameter placements alone)."""
+        import jax.numpy as jnp
+
+        from stac_st_tpu.parallel.sharding_rules import shard_params
+        from stac_st_tpu.training.step import init_train_state, make_train_step
+
+        cfg, tx, batch = _tiny_setup()
+        batch = {
+            k: jnp.tile(v, (2,) + (1,) * (v.ndim - 1)) for k, v in batch.items()
+        }
+        rng = jax.random.PRNGKey(0)
+        state0 = init_train_state(cfg, tx, rng, batch)
+        train_step = make_train_step(cfg, tx)
+
+        state_a, metrics_a = train_step(
+            jax.device_put(state0), batch, jax.random.PRNGKey(7),
+            update_cmvn=False,
+        )
+
+        mesh = make_mesh(data=4, model=2)
+        state_b = init_train_state(cfg, tx, rng, batch)
+        sharded_params = shard_params(state_b.params, mesh)
+        # optimizer state mirrors the parameter sharding automatically
+        state_b = state_b._replace(
+            params=sharded_params, opt_state=tx.init(sharded_params)
+        )
+        sharded_batch = {
+            k: jax.device_put(v, batch_sharding(mesh))
+            for k, v in batch.items()
+        }
+        state_b, metrics_b = train_step(
+            state_b, sharded_batch, jax.random.PRNGKey(7), update_cmvn=False,
+        )
+
+        np.testing.assert_allclose(
+            float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-4
+        )
+        flat_a = jax.tree_util.tree_leaves(jax.device_get(state_a.params))
+        flat_b = jax.tree_util.tree_leaves(jax.device_get(state_b.params))
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
+
+    def test_rules_hit_expected_params(self):
+        from stac_st_tpu.parallel.sharding_rules import spec_for_path
+        from jax.sharding import PartitionSpec as P
+
+        assert spec_for_path(
+            "Transformer/params/decoder/layer_0/self_attn/q_proj/kernel"
+        ) == P(None, "model")
+        assert spec_for_path(
+            "Transformer/params/encoder/layer_3/ffn/fc2/kernel"
+        ) == P("model", None)
+        assert spec_for_path("seq_lin/params/linear/kernel") == P(None, "model")
+        assert spec_for_path(
+            "Transformer/params/encoder/layer_0/norm1/scale"
+        ) == P()

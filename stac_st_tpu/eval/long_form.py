@@ -18,7 +18,7 @@ mwer segmentation (Matusov et al. 2005).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 

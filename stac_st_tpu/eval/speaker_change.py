@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Sequence
 
 __all__ = ["ChangePointMetrics", "score_change_points",
            "evaluate_speaker_change", "TOLERANCE_GRID",

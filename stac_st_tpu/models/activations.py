@@ -8,7 +8,6 @@ registry maps those names here. Instances are callables over jnp arrays.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 __all__ = ["GELU", "ReLU", "LeakyReLU", "Swish"]
 

@@ -17,7 +17,6 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = ["ConvolutionFrontEnd", "conv_out_length"]

@@ -15,7 +15,7 @@ reference hparams onto (``transformer_multitask.yaml:183-220``).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp

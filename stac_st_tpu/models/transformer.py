@@ -21,13 +21,12 @@ Weight init mirrors the reference's ``_init_params`` (xavier_normal on all
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .positional import sinusoidal_table
 
 __all__ = [
     "NormalizedEmbedding",

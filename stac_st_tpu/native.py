@@ -8,7 +8,6 @@ implementations; parity is enforced by tests/test_native.py).
 
 from __future__ import annotations
 
-from typing import Optional
 
 _native = None
 _tried = False

@@ -14,7 +14,6 @@ reduces to pure DP.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import jax
 import numpy as np

@@ -20,7 +20,7 @@ tests/test_sharding.py on the virtual CPU mesh.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Tuple
+from typing import Any, List, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -15,7 +15,7 @@ from typing import Tuple
 
 import numpy as np
 
-from ..data.audio import read_audio, read_sphere, read_wav, resample, write_wav
+from ..data.audio import read_sphere, read_wav, resample, write_wav
 
 __all__ = ["segment_audio", "load_recording"]
 

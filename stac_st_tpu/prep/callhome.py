@@ -17,7 +17,6 @@ from typing import List, Optional
 
 from .cleaning import clean_transcription, normalize_punctuation
 from .fisher import (
-    SAMPLE_RATE,
     _attach_translations,
     _filter_lengths,
     _segment_all,

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import re
 import string
-import unicodedata
 
 __all__ = [
     "clean_transcription",

@@ -15,7 +15,7 @@ import csv
 import json
 import logging
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 from .cleaning import clean_translation
 

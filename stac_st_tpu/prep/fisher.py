@@ -27,7 +27,6 @@ cutting channel 0 of the merged window (``:461-466``); pass
 
 from __future__ import annotations
 
-import json
 import logging
 import os
 from typing import Dict, List, Optional

@@ -14,7 +14,7 @@ import glob
 import json
 import logging
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 from .cleaning import clean_transcription, clean_translation
 from ..data.audio import read_audio

@@ -26,7 +26,6 @@ from .spm_model import (
     PIECE_CONTROL,
     PIECE_UNKNOWN,
     PIECE_USER_DEFINED,
-    Piece,
     SpmModel,
 )
 

@@ -32,7 +32,7 @@ import os
 from collections import Counter
 from typing import Dict, Iterable, List, Optional, Tuple
 
-from .bpe import SPACE, BpeEncoder, normalize_text
+from .bpe import SPACE, normalize_text
 from .spm_model import (
     PIECE_CONTROL,
     PIECE_NORMAL,

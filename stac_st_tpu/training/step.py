@@ -32,7 +32,6 @@ from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from flax.core import FrozenDict
 
 from ..ops.cmvn import CmvnState, cmvn_apply, cmvn_update
 from ..ops.ctc import ctc_loss

@@ -20,7 +20,6 @@ Key TPU-native differences from the reference Brain:
 from __future__ import annotations
 
 import logging
-import math
 import time
 from typing import Any, Dict, List, Optional
 
@@ -31,10 +30,9 @@ from flax import serialization
 
 from ..data.loader import BatchLoader
 from ..ops.cmvn import CmvnState
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.mesh import batch_sharding, make_mesh
 from ..utils.recipe_io import append_4gt, append_gt_preds, print_bleu_or_wer
 from .checkpoint import average_checkpoints
-from .lifecycle import Stage
 from .step import (
     StepConfig,
     TrainState,

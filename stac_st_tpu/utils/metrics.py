@@ -14,7 +14,7 @@ from YAML (``transformer_multitask.yaml:308-311``) and drives in
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 

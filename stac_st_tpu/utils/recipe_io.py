@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import csv
 import json
-import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 __all__ = [

@@ -156,3 +156,44 @@ class TestTensorParallel:
         assert spec_for_path(
             "Transformer/params/encoder/layer_0/norm1/scale"
         ) == P()
+
+
+class TestShardedDecode:
+    def test_beam_search_with_sharded_encoder_output(self):
+        """Serving scale-out: beam search over a batch sharded on the data
+        axis must equal the unsharded result (GSPMD partitions the whole
+        decode loop; per-chip RTFx stays constant as the fleet grows)."""
+        import jax.numpy as jnp
+
+        from stac_st_tpu.decoding.beam_search import MultiTaskBeamSearch
+        from stac_st_tpu.models import LinearHead, TransformerMultiTask
+
+        model = TransformerMultiTask(
+            tgt_vocab=40, input_size=16, d_model=32, nhead=4,
+            num_encoder_layers=1, num_decoder_layers=1, d_ffn=64,
+            dropout=0.0, normalize_before=True,
+        )
+        seq_lin = LinearHead(input_size=32, n_neurons=40)
+        rng = np.random.default_rng(4)
+        src = jnp.asarray(rng.standard_normal((8, 10, 16)).astype(np.float32))
+        params = model.init(
+            jax.random.PRNGKey(1), src, jnp.ones((8, 4), jnp.int32)
+        )
+        enc = model.apply(params, src, method=model.encode)
+        s_params = seq_lin.init(jax.random.PRNGKey(2), enc)
+
+        searcher = MultiTaskBeamSearch(
+            [model, seq_lin, None], bos_index=1, eos_index=2, blank_index=0,
+            beam_size=3, min_decode_ratio=0.3,
+        )
+        searcher.bind(params, s_params)
+        searcher.set_decoder_prefix_tokens(5, 9)
+
+        hyps_plain, scores_plain = searcher(enc)
+
+        mesh = make_mesh(data=8)
+        enc_sharded = jax.device_put(enc, batch_sharding(mesh))
+        hyps_shard, scores_shard = searcher(enc_sharded)
+
+        assert hyps_plain == hyps_shard
+        np.testing.assert_allclose(scores_plain, scores_shard, rtol=1e-5)

@@ -28,7 +28,13 @@ class SpeedPerturb:
                  **unused):
         self.orig_freq = int(orig_freq)
         self.speeds = [int(s) for s in (speeds or [90, 100, 110])]
-        self._rng = np.random.default_rng()
+        # The reference draws speeds from the torch global RNG, which the
+        # yaml's `!apply:torch.manual_seed [seed]` line (loaded first) has
+        # already seeded — so runs are reproducible. Mirror that: seed from
+        # the recorded global seed, not from OS entropy.
+        from ..utils.seeding import get_seed
+
+        self._rng = np.random.default_rng(get_seed())
 
     def seed(self, seed: int) -> None:
         self._rng = np.random.default_rng(seed)

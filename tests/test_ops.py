@@ -166,6 +166,47 @@ class TestMasks:
 
 
 class TestSpecAugment:
+    def test_bicubic_warp_matches_torch(self, rng):
+        """_warp_to == the reference's F.interpolate(bicubic, align_corners)
+        applied per segment (speechbrain SpecAugment.time_warp semantics)."""
+        torch = pytest.importorskip("torch")
+        from stac_st_tpu.ops.specaugment import _warp_to
+
+        B, T, D = 3, 57, 13
+        feats = rng.standard_normal((B, T, D)).astype(np.float32)
+        for c, w in [(17, 21), (17, 13), (5, 6), (50, 45), (28, 28)]:
+            ours = np.asarray(
+                _warp_to(jnp.asarray(feats), jnp.asarray(c), jnp.asarray(w),
+                         "bicubic")
+            )
+            x = torch.from_numpy(feats).unsqueeze(1)  # (B,1,T,D)
+            left = torch.nn.functional.interpolate(
+                x[:, :, :c], (w, D), mode="bicubic", align_corners=True)
+            right = torch.nn.functional.interpolate(
+                x[:, :, c:], (T - w, D), mode="bicubic", align_corners=True)
+            ref = torch.cat([left, right], dim=2).squeeze(1).numpy()
+            np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5,
+                                       err_msg=f"c={c} w={w}")
+
+    def test_linear_warp_matches_torch(self, rng):
+        torch = pytest.importorskip("torch")
+        from stac_st_tpu.ops.specaugment import _warp_to
+
+        B, T, D = 2, 41, 9
+        feats = rng.standard_normal((B, T, D)).astype(np.float32)
+        c, w = 15, 19
+        ours = np.asarray(
+            _warp_to(jnp.asarray(feats), jnp.asarray(c), jnp.asarray(w),
+                     "bilinear")
+        )
+        x = torch.from_numpy(feats).unsqueeze(1)
+        left = torch.nn.functional.interpolate(
+            x[:, :, :c], (w, D), mode="bilinear", align_corners=True)
+        right = torch.nn.functional.interpolate(
+            x[:, :, c:], (T - w, D), mode="bilinear", align_corners=True)
+        ref = torch.cat([left, right], dim=2).squeeze(1).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
+
     def test_shapes_and_masking(self, rng):
         feats = jnp.asarray(rng.standard_normal((2, 100, 80)).astype(np.float32))
         out = spec_augment(feats, jax.random.PRNGKey(0))
@@ -180,6 +221,22 @@ class TestSpecAugment:
 
 
 class TestSpeedPerturb:
+    def test_seeded_from_global_seed(self, rng):
+        """Two instances built under the same global seed draw the same
+        speed sequence (reference: speeds come from the torch global RNG,
+        seeded by the yaml's manual_seed) — training runs are reproducible."""
+        from stac_st_tpu.utils.seeding import manual_seed
+
+        wav = rng.standard_normal(8000).astype(np.float32)
+        manual_seed(1234)
+        a = SpeedPerturb(16000, [90, 100, 110])
+        lens_a = [len(a(wav)) for _ in range(8)]
+        manual_seed(1234)
+        b = SpeedPerturb(16000, [90, 100, 110])
+        lens_b = [len(b(wav)) for _ in range(8)]
+        assert lens_a == lens_b
+        assert len(set(lens_a)) > 1  # actually perturbs
+
     def test_lengths(self, rng):
         sp = SpeedPerturb(16000, [90, 100, 110])
         wav = rng.standard_normal(16000).astype(np.float32)

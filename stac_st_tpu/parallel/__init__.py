@@ -1,4 +1,4 @@
-"""Parallelism: mesh construction and sharding helpers."""
+"""Parallelism: mesh construction, sharding helpers, pipeline parallelism."""
 
 from .mesh import (
     batch_sharding,
@@ -7,8 +7,9 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .pipeline import make_pipe_mesh, pipeline_apply, stack_layer_params
 
 __all__ = [
     "batch_sharding", "local_device_count", "make_mesh", "replicated",
-    "shard_batch",
+    "shard_batch", "make_pipe_mesh", "pipeline_apply", "stack_layer_params",
 ]

@@ -22,7 +22,6 @@ layer fn for activation memory.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax

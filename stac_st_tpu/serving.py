@@ -134,12 +134,10 @@ class STEngine:
         num_decoder_layers: int = 6, d_ffn: int = 1024, vocab: int = 5000,
         **kw,
     ) -> "STEngine":
-        """Load averaged weights from a training experiment's save dir."""
+        """Load averaged weights from a training experiment's save dir,
+        with explicitly-specified model dims (see ``from_saved_experiment``
+        for the config-free variant)."""
         import os
-
-        from flax import serialization
-
-        from .training.checkpoint import Checkpointer, average_checkpoints
 
         tokenizer = SentencePieceProcessor(tokenizer_file)
         cnn = ConvolutionFrontEnd()
@@ -152,14 +150,66 @@ class STEngine:
         seq_lin = LinearHead(input_size=d_model, n_neurons=vocab)
         ctc_lin = LinearHead(input_size=d_model, n_neurons=vocab)
 
-        ckpt_dir = os.path.join(pretrained_path, "save")
+        return cls._load_from_save(
+            cnn, transformer, seq_lin, ctc_lin,
+            os.path.join(pretrained_path, "save"), tokenizer, 80, **kw
+        )
+
+    @classmethod
+    def from_saved_experiment(
+        cls, experiment_directory: str,
+        tokenizer_file: Optional[str] = None, **kw,
+    ) -> "STEngine":
+        """First-class reload of a training experiment from its OWN saved
+        config: modules are rebuilt from ``hyperparams.yaml`` +
+        ``overrides.yaml`` exactly as training built them, so the caller
+        never re-specifies model dims. (The reference instead greps values
+        back out of the saved yaml in shell —
+        ``evaluations/vad_shas/run_inference.sh:27-37``; SURVEY §5.6 flags
+        this as the thing to fix first-class.)
+        """
+        import os
+
+        import yaml as _yaml
+
+        from .config.hyperyaml import load_hyperpyyaml
+
+        ov_path = os.path.join(experiment_directory, "overrides.yaml")
+        overrides = {}
+        if os.path.isfile(ov_path):
+            with open(ov_path) as f:
+                overrides = _yaml.safe_load(f) or {}
+        with open(os.path.join(experiment_directory, "hyperparams.yaml")) as f:
+            hp = load_hyperpyyaml(f, overrides)
+
+        tokenizer_file = tokenizer_file or hp.get("tokenizer_file")
+        if not tokenizer_file or not os.path.isfile(str(tokenizer_file)):
+            raise FileNotFoundError(
+                "tokenizer model not found; pass tokenizer_file= (saved "
+                f"config points at {tokenizer_file!r})"
+            )
+        tokenizer = SentencePieceProcessor(str(tokenizer_file))
+        return cls._load_from_save(
+            hp["CNN"], hp["Transformer"], hp["seq_lin"], hp.get("ctc_lin"),
+            os.path.join(experiment_directory, "save"), tokenizer,
+            int(hp.get("n_mels", 80)), **kw
+        )
+
+    @classmethod
+    def _load_from_save(cls, cnn, transformer, seq_lin, ctc_lin,
+                        ckpt_dir: str, tokenizer, n_mels: int,
+                        **kw) -> "STEngine":
+        from flax import serialization
+
+        from .training.checkpoint import Checkpointer, average_checkpoints
+
         ckpts = Checkpointer(ckpt_dir).find_checkpoints(max_key="ACC")
         if not ckpts:
             raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
         raw = average_checkpoints(ckpts, "model")
         # template init for from_state_dict
         rng = jax.random.PRNGKey(0)
-        feats = jnp.zeros((1, 101, 80))
+        feats = jnp.zeros((1, 101, n_mels))
         cnn_p = cnn.init(rng, feats)
         src = cnn.apply(cnn_p, feats)
         tr_p = transformer.init(rng, src, jnp.ones((1, 4), jnp.int32))
@@ -168,10 +218,11 @@ class STEngine:
             "CNN": cnn_p,
             "Transformer": tr_p,
             "seq_lin": seq_lin.init(rng, enc),
-            "ctc_lin": ctc_lin.init(rng, enc),
         }
+        if ctc_lin is not None:
+            template["ctc_lin"] = ctc_lin.init(rng, enc)
         params = serialization.from_state_dict(template, raw)
-        cmvn = cmvn_init(80)
+        cmvn = cmvn_init(n_mels)
         if "normalizer" in ckpts[0].names():
             n = ckpts[0].load("normalizer")
             cmvn = CmvnState(

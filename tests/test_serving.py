@@ -92,6 +92,76 @@ class TestSTEngine:
         assert set(events[0]) == {"turn", "xt"}
 
 
+class TestFromSavedExperiment:
+    def test_reload_from_saved_config(self, tmp_path, rng):
+        """from_saved_experiment rebuilds modules from the experiment's own
+        hyperparams.yaml + overrides.yaml — no dims re-specified (the
+        reference greps the yaml back out in shell; SURVEY §5.6)."""
+        import json
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from fixtures import make_corpus, train_fixture_tokenizer
+
+        root = str(tmp_path / "corpus")
+        os.makedirs(root)
+        _, st_json, joint = make_corpus(root, n_utts=6, seconds=0.4)
+        sp, tok_path = train_fixture_tokenizer(root, joint, vocab=VOCAB)
+        for split in ("train", "dev"):
+            os.makedirs(os.path.join(root, split), exist_ok=True)
+            with open(st_json) as f:
+                data = json.load(f)
+            with open(os.path.join(root, split, "data-st.json"), "w") as f:
+                json.dump(data, f)
+
+        out_dir = str(tmp_path / "exp")
+        overrides = {
+            "d_model": "32", "nhead": "4", "num_encoder_layers": "2",
+            "num_decoder_layers": "2", "d_ffn": "64",
+            "output_neurons": str(VOCAB), "number_of_epochs": "1",
+            "scheduler_step_limit": "50", "n_warmup_steps": "5",
+            "cooldown": "5", "grad_accumulation_factor": "1",
+            "dynamic_batching": "True", "max_batch_len": "4",
+            "max_batch_len_val": "4", "num_bucket": "2",
+            "valid_search_interval": "100", "batch_size": "4",
+            "num_workers": "0", "train_splits": "train/data-st",
+            "dev_splits": "dev/data-st",
+            "test_splits_4_translations": "[]",
+            "test_splits_1_translations": "[]",
+            "output_folder_name": out_dir, "data_folder": root,
+            "tokenizer_file": tok_path,
+        }
+        argv = ["recipes/hparams/transformer_multitask.yaml"]
+        argv += [f"--{k}={v}" for k, v in overrides.items()]
+        from recipes.train_multitask import main
+
+        main(argv)
+
+        from stac_st_tpu.serving import STEngine
+
+        exp = os.path.join(out_dir, "8886")
+        engine = STEngine.from_saved_experiment(
+            exp, beam_size=2, bucket_seconds=(0.5,), bf16=False)
+        wav = rng.standard_normal(4000).astype(np.float32)
+        out = engine.transcribe([wav])
+        assert len(out) == 1 and isinstance(out[0], str)
+
+        # explicit tokenizer_file wins over a stale saved path
+        import yaml
+
+        ov = os.path.join(exp, "overrides.yaml")
+        d = yaml.safe_load(open(ov))
+        d["tokenizer_file"] = "/nonexistent/tok.model"
+        yaml.safe_dump(d, open(ov, "w"))
+        with pytest.raises(FileNotFoundError, match="tokenizer"):
+            STEngine.from_saved_experiment(exp)
+        engine2 = STEngine.from_saved_experiment(
+            exp, tokenizer_file=tok_path, beam_size=2,
+            bucket_seconds=(0.5,), bf16=False)
+        assert engine2.transcribe([wav]) == out
+
+
 class TestFromExperiment:
     def test_load_averaged_checkpoint(self, tmp_path, rng):
         """STEngine.from_experiment: averaged top-k checkpoint + CMVN stats

@@ -15,7 +15,7 @@ import logging
 import os
 from typing import List, Optional
 
-from .cleaning import clean_transcription, normalize_punctuation
+from .cleaning import CALLHOME, clean_transcription, finalize_transcription
 from .fisher import (
     _attach_translations,
     _filter_lengths,
@@ -46,7 +46,8 @@ def _load_split(dataset: str, transcript_folder: str, speech_folder: str,
             path = os.path.join(transcript_folder, f"{rec}{ext}")
             if os.path.isfile(path):
                 transcripts[rec] = parse_callhome(
-                    path, clean=clean_transcription
+                    path,
+                    clean=lambda t: clean_transcription(t, CALLHOME),
                 )
                 break
 
@@ -59,7 +60,9 @@ def _load_split(dataset: str, transcript_folder: str, speech_folder: str,
         group = segs[indices[0] - 1 : indices[-1]]
         if not group:
             continue
-        text = normalize_punctuation(" ".join(s.transcript for s in group))
+        text = finalize_transcription(
+            " ".join(s.transcript for s in group), lang="es"
+        )
         start, end = group[0].start, group[-1].end
         utterances.append(Utterance(
             uid=uid,

@@ -22,7 +22,7 @@ import logging
 import os
 from typing import Callable, Dict, List, Optional
 
-from .cleaning import clean_transcription
+from .cleaning import cv_clean_all
 from ..data.audio import read_audio
 
 logger = logging.getLogger(__name__)
@@ -51,7 +51,10 @@ def _entry_for(row: Dict[str, str], clips_dir: str, locale: str,
     except (ValueError, FileNotFoundError):
         return None
     duration = len(samples) / 16000.0
-    text = clean_transcription(row.get("sentence", ""))
+    # Full CV chain incl. Moses stages, accent strip, ≥3-words gate
+    # (ref common_voice_prepare.py:289-322; the locale string is passed to
+    # the Moses stages verbatim, as the reference does)
+    text = cv_clean_all(row.get("sentence", ""), locale)
     if not text or duration <= 0:
         return None
     return {

@@ -32,7 +32,7 @@ import os
 from typing import Dict, List, Optional
 
 from .audio_prep import segment_audio
-from .cleaning import clean_transcription, clean_translation, normalize_punctuation
+from .cleaning import clean_transcription, finalize_transcription, process_translation
 from .records import Utterance, write_manifests
 from .tdf import Segment, parse_tdf
 from .turns import concatenate_turns
@@ -60,8 +60,15 @@ def load_mapping(path: str) -> List[tuple]:
 
 
 def load_translations(path: str) -> List[str]:
-    with open(path, encoding="utf-8") as f:
-        return [clean_translation(line.rstrip("\n")) for line in f]
+    """Exact reference chain (``fisher_callhome_prepare.py:429-448``): read
+    bytes, drop CRs, decode utf-8, then the full clean → normalize → Moses
+    normalize → de-punctuate → Moses tokenize pipeline per line."""
+    with open(path, "rb") as f:
+        raw_lines = f.readlines()
+    return [
+        process_translation(line.replace(b"\r", b"").decode("utf-8"))
+        for line in raw_lines
+    ]
 
 
 def apply_mapping(
@@ -79,8 +86,8 @@ def apply_mapping(
         group = segs[indices[0] - 1 : indices[-1]]  # 1-based inclusive
         if not group:
             continue
-        text = normalize_punctuation(
-            " ".join(s.transcript for s in group)
+        text = finalize_transcription(
+            " ".join(s.transcript for s in group), lang="es"
         )
         start, end = group[0].start, group[-1].end
         channel = group[0].channel

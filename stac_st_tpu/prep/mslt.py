@@ -16,7 +16,7 @@ import logging
 import os
 from typing import Dict, Optional
 
-from .cleaning import clean_transcription, clean_translation
+from .cleaning import mslt_clean_all
 from ..data.audio import read_audio
 
 logger = logging.getLogger(__name__)
@@ -60,11 +60,14 @@ def prepare_mslt(
         translation_files = glob.glob(
             base + f".{translation_tier}.{target_lang}*.snt"
         )
-        transcription = clean_transcription(_read_snt(snt))
+        # Both sides run the full MSLT chain (ref mslt_prepare.py:274-293:
+        # translation AND transcript go through clean_all_transcript)
+        transcription = mslt_clean_all([_read_snt(snt)], source_lang)
         translation = (
-            clean_translation(_read_snt(translation_files[0]))
-            if translation_files else ""
+            mslt_clean_all([_read_snt(translation_files[0])], target_lang)
+            if translation_files else None
         )
+        translation = translation or ""
         if not transcription:
             continue
         try:

@@ -2,14 +2,18 @@
 
 Re-owns ``evaluations/whisper/eval_whisper.py``: decode each manifest
 utterance with a Whisper checkpoint (tiny→medium), forcing the (language,
-task) decoder prompt, Fisher-style hypothesis cleanup, 4-ref BLEU / WER with
-per-conversation reporting, and the reference's >125 % WER outlier skip
-(``eval_whisper.py:495-498``).
+task) decoder prompt, the reference's exact hypothesis cleanup chain
+(``clean_transcript_translation``, :53-77 — normalize_punctuation →
+clean_transcription → Moses normalize → de-punctuate), 4-ref BLEU with
+``[turn]``/``[xt]`` stripping + Moses detokenization of references
+(``extract_reference:360-391``), WER with the >125 % outlier skip
+(:495-498), and per-conversation reporting.
 
 This environment has no network egress, so the checkpoint must be a local
 path (``model_path``); the runner gates cleanly when absent. Whisper here is
 a *baseline*, not a framework component — it runs on host CPU/GPU via
-torch, exactly as in the reference.
+torch, exactly as in the reference. Executed end-to-end in
+tests/test_whisper_baseline.py with a locally built tiny random checkpoint.
 """
 
 from __future__ import annotations
@@ -22,7 +26,11 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..data.audio import read_audio
-from ..prep.cleaning import clean_transcription, clean_translation
+from ..prep.cleaning import (
+    moses_detokenize,
+    remove_special_turn_tokens,
+    whisper_clean_output,
+)
 from ..utils.metrics import BLEUStats, ErrorRateStats
 
 logger = logging.getLogger(__name__)
@@ -66,7 +74,7 @@ def run_whisper_baseline(
     bleu = BLEUStats()
     wer = ErrorRateStats()
     rows: List[List[str]] = []
-    clean = clean_translation if task == "translate" else clean_transcription
+    n_ref_streams = None
     for i, (uid, entry) in enumerate(data.items()):
         if max_utterances is not None and i >= max_utterances:
             break
@@ -78,20 +86,49 @@ def run_whisper_baseline(
             sig, sampling_rate=16000, return_tensors="pt"
         ).input_features
         with torch.no_grad():
-            generated = model.generate(
-                inputs, forced_decoder_ids=forced_ids, max_new_tokens=256
-            )
-        hyp = clean(processor.batch_decode(
+            try:
+                # reference API (eval_whisper.py:466-468)
+                generated = model.generate(
+                    inputs, forced_decoder_ids=forced_ids,
+                    max_new_tokens=256,
+                )
+            except (ValueError, TypeError):
+                # transformers ≥4.50 removed forced_decoder_ids from
+                # generate(); pass the same prompt as decoder_input_ids
+                prompt = torch.tensor(
+                    [[model.config.decoder_start_token_id]
+                     + [tid for _, tid in forced_ids]]
+                )
+                generated = model.generate(
+                    inputs,
+                    decoder_input_ids=prompt.repeat(inputs.shape[0], 1),
+                    max_new_tokens=256,
+                )
+        # reference hypothesis cleanup chain (eval_whisper.py:53-77,473)
+        hyp = whisper_clean_output(processor.batch_decode(
             generated, skip_special_tokens=True
         )[0])
-        ref = (
-            entry.get("translation_0", "")
-            if task == "translate" else entry.get("transcription", "")
-        )
-        rows.append([uid, ref, hyp])
         if task == "translate":
-            bleu.append([uid], [hyp], [[ref]])
+            # 4-ref Fisher dev/test or single-ref (extract_reference)
+            keys = [f"translation_{n}" for n in range(4)
+                    if f"translation_{n}" in entry] or ["translation_0"]
+            refs = [
+                moses_detokenize(
+                    remove_special_turn_tokens(entry.get(k, "")), "en"
+                )
+                for k in keys
+            ]
+            if n_ref_streams is None:
+                n_ref_streams = len(refs)
+            refs = (refs + [""] * n_ref_streams)[:n_ref_streams]
+            rows.append([uid, refs[0], hyp])
+            bleu.append([uid], [hyp], [[r] for r in refs])
         else:
+            ref = moses_detokenize(
+                remove_special_turn_tokens(entry.get("transcription", "")),
+                entry.get("source_lang", "es"),
+            )
+            rows.append([uid, ref, hyp])
             detail_wer = ErrorRateStats()
             detail_wer.append([uid], [hyp.split()], [ref.split()])
             if detail_wer.summarize("error_rate") > WER_OUTLIER_PCT:

@@ -435,6 +435,36 @@ def mslt_clean_all(lines, lang: str, accented_letters: bool = True):
     return words
 
 
+def whisper_clean_output(text: str) -> str:
+    """Whisper-baseline hypothesis cleanup (ref ``eval_whisper.py:53-77``):
+    normalize_punctuation → clean_transcription (CV order, MSLT profile —
+    the file keeps the ``N → n`` fold) → Moses en normalize →
+    remove_punctuation → collapse/strip."""
+    words = str(text)
+    words = normalize_punctuation(words)
+    words = clean_transcription(words, MSLT)
+    words = _moses_normalizer("en").normalize(words)
+    words = remove_punctuation(words)
+    words = re.sub(" +", " ", words)
+    return words.lstrip().rstrip()
+
+
+def remove_special_turn_tokens(text: str) -> str:
+    """Strip ``[turn]`` / ``[xt]`` markers (ref ``eval_whisper.py``
+    remove_special_tokens)."""
+    specials = ["[turn]", "[xt]"]
+    text = re.sub(" +", " ", text)
+    text = " ".join(w for w in text.split(" ") if w not in specials)
+    return re.sub(" +", " ", text)
+
+
+def moses_detokenize(text: str, lang: str = "en") -> str:
+    """Moses detokenization of a space-tokenized string."""
+    from sacremoses import MosesDetokenizer
+
+    return MosesDetokenizer(lang=lang).detokenize(text.strip().split(" "))
+
+
 def cv_clean_all(text: str, lang: str, accented_letters: bool = False):
     """CommonVoice per-row cleaning (ref ``common_voice_prepare.py:289-322``):
     full transcript chain, accent handling, length gate (< 3 words → None)."""

@@ -73,6 +73,9 @@ def dataio_prepare(hparams):
 
     if hparams.get("dynamic_batching", False):
         dyn = hparams["dynamic_batch_sampler"]
+        # NB: the sampler keeps SB's own default seed (42) — the reference
+        # does not thread the experiment seed into DynamicBatchSampler
+        # (dataio_and_utils.py:212-230), so neither do we.
         train_sampler = DynamicBatchSampler(
             train_ds.durations(),
             dyn["max_batch_len"],
@@ -80,7 +83,6 @@ def dataio_prepare(hparams):
             shuffle=dyn.get("shuffle_ex", True) and shuffle,
             batch_ordering=dyn.get("batch_ordering", "random"),
             max_batch_ex=dyn.get("max_batch_ex", 128),
-            seed=seed,
         )
         valid_sampler = DynamicBatchSampler(
             valid_ds.durations(),
@@ -88,7 +90,6 @@ def dataio_prepare(hparams):
             num_buckets=dyn.get("num_buckets", 50),
             shuffle=dyn.get("shuffle_ex", True),
             batch_ordering=dyn.get("batch_ordering", "random"),
-            seed=seed,
         )
         loaders["train"] = BatchLoader(train_ds, sampler=train_sampler,
                                        seed=seed)

@@ -91,10 +91,12 @@ def dataio_prepare(hparams):
             shuffle=dyn.get("shuffle_ex", True),
             batch_ordering=dyn.get("batch_ordering", "random"),
         )
+        nw = int(hparams.get("train_dataloader_opts", {})
+                 .get("num_workers", hparams.get("num_workers", 1)) or 1)
         loaders["train"] = BatchLoader(train_ds, sampler=train_sampler,
-                                       seed=seed)
+                                       seed=seed, num_workers=nw)
         loaders["valid"] = BatchLoader(valid_ds, sampler=valid_sampler,
-                                       seed=seed)
+                                       seed=seed, num_workers=nw)
     else:
         loaders["train"] = BatchLoader(
             train_ds, batch_size=hparams.get("batch_size", 4),

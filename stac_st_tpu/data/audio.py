@@ -180,13 +180,18 @@ def read_audio(
 
 
 def resample(samples: np.ndarray, orig_rate: int, new_rate: int) -> np.ndarray:
+    g = np.gcd(int(orig_rate), int(new_rate))
+    up, down = int(new_rate) // g, int(orig_rate) // g
+    samples = np.asarray(samples, np.float32)
+    if samples.ndim == 1:
+        from .resample import fast_resample_poly
+
+        return fast_resample_poly(samples, up, down)
     from scipy.signal import resample_poly
 
-    g = np.gcd(int(orig_rate), int(new_rate))
-    out = resample_poly(
-        samples.astype(np.float64), new_rate // g, orig_rate // g, axis=0
-    )
-    return out.astype(np.float32)
+    return resample_poly(
+        samples.astype(np.float64), up, down, axis=0
+    ).astype(np.float32)
 
 
 def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:

@@ -1,16 +1,22 @@
 """Batch loader: sampler indices → collated static-shape batches, prefetched.
 
 The reference leans on torch DataLoader workers (``num_workers: 32``,
-yaml:74) for audio decode + speed perturb. Here a background thread pipeline
-overlaps host-side decode/collate with device compute (the TPU analogue:
-the device never waits on the host for the next bucket batch). Decode can be
-delegated to the native C++ loader when built.
+yaml:74) for audio decode + speed perturb. Here ``num_workers`` threads
+decode/perturb/collate batches concurrently — the native decode path
+(``_stacnative``: sphere/wav decode, resample, speed perturb) releases the
+GIL, so threads genuinely overlap — while an ordered in-flight window keeps
+batch order deterministic and bounds memory to ``prefetch + num_workers``
+batches. The device never waits on the host for the next bucket batch
+(``bench_loader.py`` measures the margin). ``num_workers<=1`` keeps the
+single-producer prefetch thread.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import numpy as np
@@ -35,6 +41,7 @@ class BatchLoader:
         drop_last: bool = False,
         shuffle: bool = False,
         seed: int = 8886,
+        num_workers: int = 1,
     ):
         self.dataset = dataset
         self.sampler = sampler
@@ -45,6 +52,7 @@ class BatchLoader:
         self.drop_last = bool(drop_last)
         self.shuffle = bool(shuffle)
         self.seed = int(seed)
+        self.num_workers = int(num_workers)
         self.epoch = 0
         self.order = None  # fixed index order (sorting modes)
 
@@ -83,6 +91,9 @@ class BatchLoader:
         )
 
     def __iter__(self) -> Iterator[PaddedBatch]:
+        if self.num_workers > 1:
+            yield from self._iter_pooled()
+            return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         error_holder = []
 
@@ -104,6 +115,23 @@ class BatchLoader:
                     raise error_holder[0]
                 return
             yield item
+
+    def _iter_pooled(self) -> Iterator[PaddedBatch]:
+        """num_workers decode threads; ordered bounded in-flight window."""
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            window: deque = deque()
+            index_iter = self._index_batches()
+            limit = self.prefetch + self.num_workers
+            try:
+                for indices in index_iter:
+                    window.append(pool.submit(self._make_batch, indices))
+                    if len(window) >= limit:
+                        yield window.popleft().result()
+                while window:
+                    yield window.popleft().result()
+            finally:
+                for fut in window:
+                    fut.cancel()
 
     def __len__(self) -> int:
         if self.sampler is not None:

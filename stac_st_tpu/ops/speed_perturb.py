@@ -18,7 +18,8 @@ from __future__ import annotations
 from typing import List, Optional
 
 import numpy as np
-from scipy.signal import resample_poly
+
+from ..data.resample import fast_resample_poly
 
 __all__ = ["SpeedPerturb"]
 
@@ -46,7 +47,5 @@ class SpeedPerturb:
         if speed == 100:
             return np.asarray(wav, np.float32)
         # playing at `speed`% == resampling by factor 100/speed
-        up, down = 100, int(speed)
-        g = np.gcd(up, down)
-        out = resample_poly(np.asarray(wav, np.float64), up // g, down // g)
-        return out.astype(np.float32)
+        return fast_resample_poly(np.asarray(wav, np.float32), 100,
+                                  int(speed))

@@ -58,6 +58,8 @@ class BeamSearchConfig(NamedTuple):
     length_normalization: bool = False
     temperature: float = 1.0
     ctc_weight: float = 0.0     # joint CTC/attention (ctc_weight_decode)
+    lm_weight: float = 0.0      # shallow LM fusion (yaml:249)
+    temperature_lm: float = 1.0
 
 
 def default_cache_gather(cache, flat_parent):
@@ -76,7 +78,7 @@ def default_cache_gather(cache, flat_parent):
     jax.jit,
     static_argnames=(
         "decode_step_fn", "init_cache_fn", "cache_gather_fn", "max_steps",
-        "config",
+        "config", "lm_step_fn", "lm_init_fn",
     ),
 )
 def beam_search(
@@ -91,6 +93,8 @@ def beam_search(
     enc_bias: Optional[jax.Array] = None,
     ctc_log_probs: Optional[jax.Array] = None,
     ctc_input_lengths: Optional[jax.Array] = None,
+    lm_step_fn: Optional[Callable] = None,
+    lm_init_fn: Optional[Callable] = None,
 ):
     """Run beam search.
 
@@ -106,6 +110,15 @@ def beam_search(
       max_steps: static decode-step budget.
       config: BeamSearchConfig (static).
       cache_gather_fn: (cache, flat_parent (BB,)) -> reordered cache.
+      lm_step_fn: optional shallow-fusion LM (SB lm_forward_step,
+        ``mutitask_decoder.py:130-137``): (params, tokens (BB,), position,
+        lm_state) -> (logits (BB, V), lm_state). The LM consumes
+        [bos, y₁, y₂, …] — the bos token only, not the language prompt,
+        matching the reference searcher. Its log-softmax (over
+        temperature_lm) is added with weight config.lm_weight AFTER the
+        eos-threshold gate, as in SB's main loop.
+      lm_init_fn: (params, batch_beam) -> initial lm_state (leaves leading
+        with BB are gathered on beam reorder).
 
     Returns:
       tokens (B, max_steps) best hypothesis (post-prompt, no eos),
@@ -153,6 +166,22 @@ def beam_search(
     else:
         ctc_state = None
 
+    use_lm = lm_step_fn is not None and config.lm_weight > 0.0
+    if use_lm:
+        t_lm = config.temperature_lm if config.temperature_lm > 0 else 1.0
+        lm_state = lm_init_fn(params, BB) if lm_init_fn is not None else None
+        # the LM consumes bos only (not the language prompt) — SB feeds it
+        # the inp_tokens stream, which starts at bos
+        bos_tok = jnp.full((BB,), config.bos_index, jnp.int32)
+        lm_logits, lm_state = lm_step_fn(
+            params, bos_tok, jnp.asarray(0, jnp.int32), lm_state
+        )
+        lm_logp = jax.nn.log_softmax(
+            lm_logits.astype(jnp.float32) / t_lm, axis=-1
+        )
+    else:
+        lm_state, lm_logp = None, None
+
     alive_tokens = jnp.zeros((B, beam, max_steps), jnp.int32)
     alive_scores = jnp.tile(
         jnp.where(jnp.arange(beam) == 0, 0.0, NEG_INF)[None, :], (B, 1)
@@ -163,7 +192,7 @@ def beam_search(
 
     def step(carry, t):
         (alive_tokens, alive_scores, fin_tokens, fin_scores, fin_lengths,
-         ctc_state, cache, logits) = carry
+         ctc_state, cache, logits, lm_state, lm_logp) = carry
         t = jnp.asarray(t, jnp.int32)
 
         logp = jax.nn.log_softmax(
@@ -179,6 +208,11 @@ def beam_search(
             eos_col = jnp.where(eos_ok, eos_col, NEG_INF)
         eos_col = jnp.where(t >= min_steps, eos_col, NEG_INF)
         logp = logp.at[:, :, config.eos_index].set(eos_col)
+
+        if use_lm:
+            # shallow fusion AFTER the eos gate (SB main-loop order)
+            logp = logp + config.lm_weight * lm_logp.reshape(B, beam, -1)
+            eos_col = logp[:, :, config.eos_index]
 
         new_ctc_state = ctc_state
         if use_ctc:
@@ -269,9 +303,20 @@ def beam_search(
             params, new_tok.reshape(BB), (prompt_len + t).astype(jnp.int32),
             cache,
         )
+        new_lm_state, new_lm_logp = lm_state, lm_logp
+        if use_lm:
+            new_lm_state = default_cache_gather(lm_state, flat_parent)
+            lm_logits, new_lm_state = lm_step_fn(
+                params, new_tok.reshape(BB), (t + 1).astype(jnp.int32),
+                new_lm_state,
+            )
+            new_lm_logp = jax.nn.log_softmax(
+                lm_logits.astype(jnp.float32) / t_lm, axis=-1
+            )
         return (
             t + 1, alive_tokens, alive_scores, fin_tokens, fin_scores,
-            fin_lengths, new_ctc_state, cache, logits,
+            fin_lengths, new_ctc_state, cache, logits, new_lm_state,
+            new_lm_logp,
         )
 
     def cond(carry):
@@ -294,7 +339,8 @@ def beam_search(
         return step(carry[1:], carry[0])
 
     carry = (jnp.asarray(0, jnp.int32), alive_tokens, alive_scores,
-             fin_tokens, fin_scores, fin_lengths, ctc_state, cache, logits)
+             fin_tokens, fin_scores, fin_lengths, ctc_state, cache, logits,
+             lm_state, lm_logp)
     carry = jax.lax.while_loop(cond, body, carry)
     (t_final, alive_tokens, alive_scores, fin_tokens, fin_scores,
      fin_lengths, *_rest) = carry
@@ -380,7 +426,14 @@ class MultiTaskBeamSearch:
             length_normalization=bool(length_normalization),
             temperature=float(temperature),
             ctc_weight=float(ctc_weight),
+            lm_weight=float(lm_weight),
+            temperature_lm=float(temperature_lm),
         )
+        # shallow-fusion LM hook (reference lm_forward_step surface,
+        # mutitask_decoder.py:130-137): set via set_lm(); active only when
+        # lm_weight > 0, like SB
+        self._lm_step_fn: Optional[Callable] = None
+        self._lm_init_fn: Optional[Callable] = None
         self.mask_encoder_padding = bool(mask_encoder_padding)
         # serving-level cap on decode steps (the reference semantic is
         # max_decode_ratio × enc frames — 250 steps for 10 s audio — but
@@ -412,12 +465,39 @@ class MultiTaskBeamSearch:
             self.bos_token, self.source_lang, self.target_lang,
         ]
 
+    # ---- LM fusion hook ---------------------------------------------------
+    def set_lm(self, lm_step_fn: Callable, lm_init_fn: Optional[Callable],
+               lm_params: Any, lm_weight: Optional[float] = None) -> None:
+        """Plug a jittable LM for shallow fusion.
+
+        lm_step_fn: (params, tokens (BB,), position (), state) ->
+          (logits (BB, V), state); receives ``params["lm"]`` — wrapped here
+          so the jit key stays stable while LM params remain dynamic.
+        lm_init_fn: (params, batch_beam) -> state (or None).
+        """
+        def step(params, tokens, position, state):
+            return lm_step_fn(params["lm"], tokens, position, state)
+
+        def init(params, bb):
+            if lm_init_fn is None:
+                return None
+            return lm_init_fn(params["lm"], bb)
+
+        self._lm_step_fn = step
+        self._lm_init_fn = init
+        self._lm_params = lm_params
+        if lm_weight is not None:
+            self.config = self.config._replace(lm_weight=float(lm_weight))
+        if self._params is not None:
+            self._params = {**self._params, "lm": lm_params}
+
     # ---- parameter binding ----------------------------------------------
     # The step closures are built ONCE (stable jit keys); parameters are a
     # dynamic argument threaded through beam_search, so training updates
     # never stale the compiled kernels.
     def bind(self, transformer_params, seq_lin_params) -> None:
-        self._params = {"t": transformer_params, "s": seq_lin_params}
+        self._params = {"t": transformer_params, "s": seq_lin_params,
+                        "lm": getattr(self, "_lm_params", None)}
         if self._decode_step_fn is not None:
             return
         model_def = self.model_def
@@ -488,6 +568,7 @@ class MultiTaskBeamSearch:
             self._decode_step_fn, self._init_cache_fn, self._params, enc_out,
             prompt, max_steps, self.config, self._cache_gather_fn,
             enc_bias, ctc_log_probs, ctc_lens,
+            lm_step_fn=self._lm_step_fn, lm_init_fn=self._lm_init_fn,
         )
         tokens = np.asarray(tokens)
         lengths = np.asarray(lengths)

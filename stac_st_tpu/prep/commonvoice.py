@@ -6,12 +6,13 @@ per-locale TSVs (``train/dev/test/validated``) → cleaned ASR manifests;
 ``train_validated`` = validated minus dev/test sentence ids (the
 data-augmentation trick for the multilingual runs); an ``all`` union.
 
-Audio: CV ships mp3. This environment has no mp3 decoder (no
-ffmpeg/sox/torchaudio — SURVEY.md §2.2); pass ``audio_converter`` to plug
-one in, or pre-convert clips to wav (the manifests point at
-``<clips>/<name>.wav`` next to the mp3). Entries whose audio is missing are
-dropped with a warning, so text-side preparation (tokenizer corpora,
-manifest unions) works regardless.
+Audio: CV ships mp3. When no ``audio_converter`` is passed, the prep
+auto-detects an external decoder (ffmpeg/sox/mpg123 —
+:mod:`stac_st_tpu.prep.audio_convert`) and converts per clip; otherwise
+pre-convert clips to wav (the manifests point at ``<clips>/<name>.wav``
+next to the mp3). Entries whose audio is missing are dropped with a
+warning, so text-side preparation (tokenizer corpora, manifest unions)
+works regardless.
 """
 
 from __future__ import annotations
@@ -82,6 +83,10 @@ def prepare_common_voice(
     clips_dir = os.path.join(locale_dir, "clips")
     out_dir = os.path.join(save_folder, locale)
     os.makedirs(out_dir, exist_ok=True)
+    if audio_converter is None:
+        from .audio_convert import default_mp3_converter
+
+        audio_converter = default_mp3_converter()
 
     outputs: Dict[str, str] = {}
     split_rows: Dict[str, List[Dict[str, str]]] = {}

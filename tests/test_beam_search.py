@@ -187,3 +187,67 @@ class TestJointCtcDecoding:
         b, sb = s(enc, None, ctc_log_probs=ctc_lp)
         assert a == b
         np.testing.assert_array_equal(sa, sb)
+
+
+class TestLMFusion:
+    """Shallow LM fusion (reference lm_forward_step surface,
+    mutitask_decoder.py:130-137 + yaml:249-251)."""
+
+    @staticmethod
+    def _bigram_lm(rng, favored):
+        """Stateless bigram LM strongly preferring token `favored`."""
+        bias = np.full((VOCAB,), -5.0, np.float32)
+        bias[favored] = 5.0
+        bias_j = jnp.asarray(bias)
+
+        def lm_step(lm_params, tokens, position, state):
+            logits = jnp.tile(bias_j[None, :] * lm_params["scale"],
+                              (tokens.shape[0], 1))
+            return logits, state
+
+        def lm_init(lm_params, bb):
+            return {"seen": jnp.zeros((bb,), jnp.int32)}
+
+        return lm_step, lm_init, {"scale": jnp.asarray(1.0)}
+
+    def test_zero_weight_is_identity(self, setup):
+        enc = _random_enc(setup, 2, 10)
+        base = setup["make_searcher"](beam_size=3, min_decode_ratio=0.3)
+        base.set_decoder_prefix_tokens(5, 9)
+        hyps_a, sc_a = base(enc)
+
+        s = setup["make_searcher"](beam_size=3, min_decode_ratio=0.3,
+                                   lm_weight=0.0)
+        lm_step, lm_init, lm_params = self._bigram_lm(setup["rng"], 7)
+        s.set_lm(lm_step, lm_init, lm_params)  # weight stays 0 -> inactive
+        s.bind(setup["t_params"], setup["s_params"])
+        s.set_decoder_prefix_tokens(5, 9)
+        hyps_b, sc_b = s(enc)
+        assert hyps_a == hyps_b
+        np.testing.assert_allclose(sc_a, sc_b, atol=1e-5)
+
+    def test_strong_lm_steers_output(self, setup):
+        enc = _random_enc(setup, 2, 10)
+        favored = 7
+        lm_step, lm_init, lm_params = self._bigram_lm(setup["rng"], favored)
+        s = setup["make_searcher"](beam_size=3, min_decode_ratio=0.5)
+        s.set_lm(lm_step, lm_init, lm_params, lm_weight=5.0)
+        s.bind(setup["t_params"], setup["s_params"])
+        s.set_decoder_prefix_tokens(5, 9)
+        hyps, _ = s(enc)
+        # a +10-logit LM preference at weight 5 dominates the random model
+        for h in hyps:
+            assert h and all(tok == favored for tok in h), h
+
+    def test_moderate_lm_changes_scores(self, setup):
+        enc = _random_enc(setup, 2, 10)
+        lm_step, lm_init, lm_params = self._bigram_lm(setup["rng"], 11)
+        base = setup["make_searcher"](beam_size=3, min_decode_ratio=0.3)
+        base.set_decoder_prefix_tokens(5, 9)
+        _, sc_base = base(enc)
+        s = setup["make_searcher"](beam_size=3, min_decode_ratio=0.3)
+        s.set_lm(lm_step, lm_init, lm_params, lm_weight=0.3)
+        s.bind(setup["t_params"], setup["s_params"])
+        s.set_decoder_prefix_tokens(5, 9)
+        _, sc_lm = s(enc)
+        assert not np.allclose(sc_base, sc_lm)

@@ -312,3 +312,71 @@ class TestFisherRoundTrip:
         assert tentry["transcription"].count("[turn]") == 2
         assert tentry["nb_turns"] == 2
         assert len(tentry["segments_start"]) == 3
+
+
+class TestAudioConvertFallback:
+    def test_no_decoder_returns_none(self, monkeypatch):
+        import shutil as _sh
+
+        from stac_st_tpu.prep.audio_convert import default_mp3_converter
+
+        monkeypatch.setattr(_sh, "which", lambda name: None)
+        assert default_mp3_converter() is None
+
+    def test_detects_first_available(self, monkeypatch, tmp_path):
+        import shutil as _sh
+
+        from stac_st_tpu.prep import audio_convert as ac
+
+        calls = []
+        monkeypatch.setattr(
+            _sh, "which",
+            lambda name: "/usr/bin/sox" if name == "sox" else None,
+        )
+        monkeypatch.setattr(
+            ac.subprocess, "run",
+            lambda cmd, **kw: calls.append(cmd),
+        )
+        conv = ac.default_mp3_converter()
+        assert conv is not None
+        conv("a.mp3", "b.wav")
+        assert calls and calls[0][0] == "/usr/bin/sox"
+        assert "a.mp3" in calls[0] and "b.wav" in calls[0]
+
+    def test_commonvoice_uses_converter(self, tmp_path):
+        """prepare_common_voice converts mp3 via the pluggable hook."""
+        import csv as _csv
+        import json as _json
+
+        import numpy as _np
+
+        from stac_st_tpu.data.audio import write_wav
+        from stac_st_tpu.prep.commonvoice import prepare_common_voice
+
+        locale_dir = tmp_path / "es"
+        clips = locale_dir / "clips"
+        clips.mkdir(parents=True)
+        rows = []
+        for i in range(3):
+            (clips / f"c{i}.mp3").write_bytes(b"\xff\xfbFAKE")
+            rows.append({
+                "client_id": f"u{i}", "path": f"c{i}.mp3",
+                "sentence": "this is a perfectly long sentence indeed",
+            })
+        with open(locale_dir / "train.tsv", "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=list(rows[0]), delimiter="\t")
+            w.writeheader()
+            w.writerows(rows)
+
+        def fake_convert(src, dst):
+            write_wav(dst, _np.zeros(16000, _np.float32), 16000)
+
+        out = prepare_common_voice(
+            str(tmp_path), str(tmp_path / "save"), "es",
+            audio_converter=fake_convert,
+        )
+        data = _json.load(open(out["train"]))
+        assert len(data) == 3
+        for entry in data.values():
+            assert entry["wav"].endswith(".wav")
+            assert entry["duration"] == 1.0

@@ -29,11 +29,14 @@ PRESETS = {
                    max_batch_len=350, grad_accumulation_factor=12,
                    scheduler_step_limit=150000, n_warmup_steps=15000,
                    cooldown=15000),
+    # pipeline_stages > 1 shards the encoder stack over a `pipe` mesh axis
+    # (stac_st_tpu.parallel.pipeline_encoder) — the TPU-native scale-out for
+    # the large preset; ignored when the mesh has no pipe axis.
     "large": dict(d_model=1024, nhead=16, num_encoder_layers=14,
                   num_decoder_layers=6, d_ffn=4096, lr_adam=5e-4,
                   max_batch_len=250, grad_accumulation_factor=24,
                   scheduler_step_limit=200000, n_warmup_steps=20000,
-                  cooldown=20000),
+                  cooldown=20000, pipeline_stages=2),
 }
 
 

@@ -151,3 +151,65 @@ class TestRealEncoderLayerPipeline:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(seq), rtol=2e-4, atol=2e-4
         )
+
+
+class TestPipelinedEncode:
+    def test_pipelined_encode_matches_sequential(self, rng):
+        """model.encode == pipelined_encode on a (pipe=4) CPU mesh, with
+        and without padding masks."""
+        import numpy as np
+
+        from stac_st_tpu.models import TransformerMultiTask
+        from stac_st_tpu.parallel.pipeline import make_pipe_mesh
+        from stac_st_tpu.parallel.pipeline_encoder import pipelined_encode
+
+        model = TransformerMultiTask(
+            tgt_vocab=30, input_size=16, d_model=32, nhead=4,
+            num_encoder_layers=4, num_decoder_layers=1, d_ffn=64,
+            dropout=0.0, normalize_before=True,
+        )
+        src = jnp.asarray(
+            np.random.default_rng(0).standard_normal((4, 12, 16)),
+            jnp.float32,
+        )
+        tgt = jnp.ones((4, 3), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), src, tgt)
+        mesh = make_pipe_mesh(data=1, pipe=4)
+
+        for wav_len in (None, jnp.asarray([1.0, 0.9, 0.6, 0.4])):
+            want = model.apply(params, src, wav_len, method=model.encode)
+            got = pipelined_encode(
+                model, params, src, wav_len, mesh=mesh,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-5
+            )
+
+    def test_pipelined_encode_dp_composition(self, rng):
+        import numpy as np
+
+        from stac_st_tpu.models import TransformerMultiTask
+        from stac_st_tpu.parallel.pipeline import make_pipe_mesh
+        from stac_st_tpu.parallel.pipeline_encoder import pipelined_encode
+
+        model = TransformerMultiTask(
+            tgt_vocab=30, input_size=16, d_model=32, nhead=4,
+            num_encoder_layers=2, num_decoder_layers=1, d_ffn=64,
+            dropout=0.0, normalize_before=True,
+        )
+        src = jnp.asarray(
+            np.random.default_rng(1).standard_normal((8, 10, 16)),
+            jnp.float32,
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), src, jnp.ones((8, 3), jnp.int32)
+        )
+        mesh = make_pipe_mesh(data=2, pipe=2)
+        want = model.apply(params, src, method=model.encode)
+        got = pipelined_encode(
+            model, params, src, mesh=mesh, data_axis="data",
+            num_microbatches=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )

@@ -6,9 +6,19 @@ inference per v5e chip): end-to-end fbank → CMVN → conv frontend → encoder
 prompted KV-cached beam search (test config: beam 10, temperature 1.15,
 eos-threshold + length-norm), on a batch of 10 s utterances.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is RTFx / 20 (the reference north-star target; the reference
-repo publishes no number of its own — BASELINE.md).
+Two phases:
+1. random weights, full decode budget (no early exit binds — the
+   round-comparable headline, same metric as previous rounds);
+2. briefly ON-CHIP-TRAINED weights (a few hundred steps on a synthetic
+   supervised task — enough for eos to fire), serving config
+   ``max_decode_tokens=192``: early exit + eos-threshold actually bind, so
+   this is the RTFx a deployed model sees. Because beam-search params are
+   dynamic jit arguments, the trained phase reuses the already-compiled
+   kernels.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (random
+phase; vs_baseline = RTFx / 20, the north-star target) plus trained_*
+fields for phase 2.
 """
 
 import json
@@ -92,6 +102,9 @@ def main():
             tree,
         )
 
+    cnn_params_f32, tr_params_f32, seq_params_f32 = (
+        cnn_params, tr_params, seq_params
+    )
     tr_params = to_bf16(tr_params)
     seq_params = to_bf16(seq_params)
     cnn_params = to_bf16(cnn_params)
@@ -122,12 +135,106 @@ def main():
 
     audio_seconds = BATCH * SECONDS * n_iters
     rtfx = audio_seconds / elapsed
+
+    # ---- phase 2: brief on-chip training so eos/early-exit bind ----------
+    trained = {}
+    if os.environ.get("STAC_BENCH_NOTRAIN") != "1":
+        try:
+            trained = _trained_phase(
+                fbank, cnn, transformer, seq_lin, cnn_params_f32,
+                tr_params_f32, seq_params_f32, wavs, wav_lens, to_bf16,
+                searcher, encode, cmvn, BATCH, SECONDS, VOCAB,
+            )
+        except Exception as exc:  # report the headline even if phase 2 dies
+            trained = {"trained_error": f"{type(exc).__name__}: {exc}"}
+
     print(json.dumps({
         "metric": "st_inference_rtfx_beam10_b16_10s",
         "value": round(rtfx, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtfx / 20.0, 3),
+        **trained,
     }))
+
+
+def _trained_phase(fbank, cnn, transformer, seq_lin, cnn_params, tr_params,
+                   seq_params, wavs, wav_lens, to_bf16, searcher, encode,
+                   cmvn, batch, seconds, vocab, steps=200):
+    """Train briefly on-chip (synthetic supervised targets ending in eos),
+    then re-measure RTFx with the serving decode cap. Returns extra JSON
+    fields."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from stac_st_tpu.ops.losses import nll_loss
+
+    rng = np.random.default_rng(7)
+    U = 14
+    # fixed short target patterns (per-utterance), eos-terminated
+    tgt = jnp.asarray(rng.integers(5, vocab, (batch, U)), jnp.int32)
+    bos = jnp.full((batch, 1), 1, jnp.int32)
+    eos_col = jnp.full((batch, 1), 2, jnp.int32)
+    prompt = jnp.asarray([[1, 3, 4]] * batch, jnp.int32)
+    tokens_bos = jnp.concatenate([prompt, tgt], axis=1)[:, :-1]
+    tokens_eos = jnp.concatenate(
+        [prompt[:, 1:], tgt, eos_col], axis=1
+    )[:, : tokens_bos.shape[1]]
+    del bos
+
+    params = {"cnn": cnn_params, "tr": tr_params, "seq": seq_params}
+    tx = optax.adamw(3e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, wavs, wav_lens):
+        def loss_fn(p):
+            feats = fbank(wavs)
+            src = cnn.apply(p["cnn"], feats)
+            _enc, dec = transformer.apply(
+                p["tr"], src, tokens_bos, wav_lens
+            )
+            logits = seq_lin.apply(p["seq"], dec)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            lens = jnp.ones((batch,), jnp.float32)
+            return nll_loss(logp, tokens_eos, lens, label_smoothing=0.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    loss = None
+    for _ in range(steps):
+        params, opt_state, loss = train_step(
+            params, opt_state, wavs, wav_lens
+        )
+    final_loss = float(loss)
+
+    cnn_b = to_bf16(params["cnn"])
+    tr_b = to_bf16(params["tr"])
+    seq_b = to_bf16(params["seq"])
+    searcher.max_decode_tokens = 192  # serving config cap
+    searcher.bind(tr_b, seq_b)
+
+    def run():
+        enc_out = encode(cnn_b, tr_b, cmvn, wavs, wav_lens)
+        hyps, _ = searcher(enc_out, wav_lens)
+        return hyps
+
+    hyps = run()  # warmup (cap changes max_steps -> one new compile)
+    n_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        hyps = run()
+    elapsed = time.perf_counter() - t0
+    rtfx = batch * seconds * n_iters / elapsed
+    lens = [len(h) for h in hyps]
+    return {
+        "trained_rtfx_cap192": round(rtfx, 2),
+        "trained_steps": steps,
+        "trained_loss": round(final_loss, 3),
+        "trained_hyp_len_mean": round(float(np.mean(lens)), 1),
+    }
 
 
 if __name__ == "__main__":

@@ -23,9 +23,24 @@ from __future__ import annotations
 import json
 from typing import Any, Dict, List, Optional
 
-__all__ = ["load_manifest", "split_name", "ManifestEntry"]
+__all__ = ["load_manifest", "split_name", "ManifestEntry",
+           "parse_segments_field"]
 
 ManifestEntry = Dict[str, Any]
+
+
+def parse_segments_field(value, cast=float) -> List:
+    """``segments_*`` fields are space-joined strings in the reference
+    manifests (``fisher_callhome_prepare_turns.py:255-257``); accept the
+    string form, a single scalar (resegmented manifests store
+    ``segments_start: 0``), or a list."""
+    if value is None:
+        return []
+    if isinstance(value, str):
+        return [cast(v) for v in value.split(" ") if v != ""]
+    if isinstance(value, (int, float)):
+        return [cast(value)]
+    return [cast(v) for v in value]
 
 
 def load_manifest(

@@ -236,12 +236,14 @@ def gt_changes_from_manifest(manifest_path: str) -> Dict[str, List[float]]:
     """Per-utterance GT change times (seconds within the utterance clock),
     from the multi-turn segments metadata — a change occurs at the start of
     every segment after the first whose channel differs from the previous."""
+    from ..data.manifest import parse_segments_field
+
     with open(manifest_path) as f:
         data = json.load(f)
     out: Dict[str, List[float]] = {}
     for uid, entry in data.items():
-        starts = entry.get("segments_start") or []
-        channels = entry.get("segments_channel") or []
+        starts = parse_segments_field(entry.get("segments_start"))
+        channels = parse_segments_field(entry.get("segments_channel"), int)
         changes = [
             float(starts[i])
             for i in range(1, len(starts))

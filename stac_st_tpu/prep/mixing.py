@@ -97,9 +97,9 @@ def concat_json(
             "translation_0": " [turn] ".join(
                 e.get("translation_0", "") for _, e in group
             ),
-            "segments_start": starts,
-            "segments_duration": durations,
-            "segments_channel": channels,
+            "segments_start": " ".join(str(s) for s in starts),
+            "segments_duration": " ".join(str(d) for d in durations),
+            "segments_channel": " ".join(str(c) for c in channels),
             "nb_turns": len(group) - 1,
         }
         new_entry["transcription_and_translation"] = (

@@ -55,10 +55,24 @@ def _entry(utt: Utterance, task: str, n_refs: int,
         "wav": utt.wav,
         "source_lang": utt.source_lang,
         "target_lang": utt.target_lang if is_st else utt.source_lang,
+    }
+    if with_segments:
+        # reference turns schema (fisher_callhome_prepare_turns.py:250-296):
+        # nb_turns + space-joined string fields, BEFORE duration — key order
+        # is part of the byte-frozen manifest contract
+        entry["nb_turns"] = utt.nb_turns
+        entry["segments_start"] = " ".join(str(i) for i in utt.turn_start)
+        entry["segments_duration"] = " ".join(
+            str(i) for i in utt.turn_duration
+        )
+        entry["segments_channel"] = " ".join(
+            str(i) for i in utt.turn_channel
+        )
+    entry.update({
         "duration": utt.duration,
         "task": task,
         "transcription": utt.transcription,
-    }
+    })
     if n_refs > 1 and is_st:
         for i in range(n_refs):
             entry[f"translation_{i}"] = (
@@ -71,11 +85,6 @@ def _entry(utt: Utterance, task: str, n_refs: int,
     if with_joint:
         ref = entry.get("translation_0", "")
         entry["transcription_and_translation"] = f"{utt.transcription}\n{ref}"
-    if with_segments:
-        entry["segments_start"] = list(utt.turn_start)
-        entry["segments_duration"] = list(utt.turn_duration)
-        entry["segments_channel"] = list(utt.turn_channel)
-        entry["nb_turns"] = utt.nb_turns
     return entry
 
 

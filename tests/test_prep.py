@@ -138,7 +138,8 @@ class TestManifests:
         st = json.load(open(paths["st"]))
         entry = st["conv1-0-000000-000500-st"]
         assert entry["task"] == "translation"
-        assert entry["segments_channel"] == [0, 1]
+        # reference schema: space-joined strings
+        assert entry["segments_channel"] == "0 1"
         assert entry["nb_turns"] == 1
         asr = json.load(open(paths["asr"]))
         a = asr["conv1-0-000000-000500-asr"]
@@ -182,7 +183,7 @@ class TestMixers:
             n_wavs = len(entry["wav"].split())
             assert entry["nb_turns"] == n_wavs - 1
             assert entry["transcription"].count("[turn]") == n_wavs - 1
-            assert len(entry["segments_start"]) == n_wavs
+            assert len(entry["segments_start"].split(" ")) == n_wavs
 
     def test_join_json(self, tmp_path):
         a = self._manifest(tmp_path)
@@ -311,7 +312,7 @@ class TestFisherRoundTrip:
         tentry = next(iter(tdata.values()))
         assert tentry["transcription"].count("[turn]") == 2
         assert tentry["nb_turns"] == 2
-        assert len(tentry["segments_start"]) == 3
+        assert len(tentry["segments_start"].split(" ")) == 3
 
 
 class TestAudioConvertFallback:

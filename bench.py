@@ -173,14 +173,12 @@ def _trained_phase(fbank, cnn, transformer, seq_lin, cnn_params, tr_params,
     U = 14
     # fixed short target patterns (per-utterance), eos-terminated
     tgt = jnp.asarray(rng.integers(5, vocab, (batch, U)), jnp.int32)
-    bos = jnp.full((batch, 1), 1, jnp.int32)
     eos_col = jnp.full((batch, 1), 2, jnp.int32)
     prompt = jnp.asarray([[1, 3, 4]] * batch, jnp.int32)
-    tokens_bos = jnp.concatenate([prompt, tgt], axis=1)[:, :-1]
-    tokens_eos = jnp.concatenate(
-        [prompt[:, 1:], tgt, eos_col], axis=1
-    )[:, : tokens_bos.shape[1]]
-    del bos
+    # teacher forcing: input [bos, src, tgt, y1..yU] ↔ target
+    # [src, tgt, y1..yU, eos] — equal lengths, eos included
+    tokens_bos = jnp.concatenate([prompt, tgt], axis=1)
+    tokens_eos = jnp.concatenate([prompt[:, 1:], tgt, eos_col], axis=1)
 
     params = {"cnn": cnn_params, "tr": tr_params, "seq": seq_params}
     tx = optax.adamw(3e-4)

@@ -127,6 +127,11 @@ class SpeechDataset:
             "source_lang": entry.get("source_lang", ""),
             "target_lang": entry.get("target_lang", ""),
         }
+        if self.speed_perturb is not None and getattr(
+            self.speed_perturb, "device", False
+        ):
+            # device-side perturb: host only samples the speed
+            sample["speed_idx"] = self.speed_perturb.sample_index()
         if self.tokenizer is not None:
             sample.update(
                 build_target_ids(
@@ -145,7 +150,9 @@ class SpeechDataset:
             for p in wav_paths(entry)
         ]
         sig = parts[0] if len(parts) == 1 else np.concatenate(parts)
-        if self.speed_perturb is not None:
+        if self.speed_perturb is not None and not getattr(
+            self.speed_perturb, "device", False
+        ):
             sig = self.speed_perturb(sig)
         return np.asarray(sig, np.float32)
 

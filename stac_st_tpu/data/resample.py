@@ -30,16 +30,16 @@ __all__ = ["fast_resample_poly"]
 
 
 @lru_cache(maxsize=128)
-def _block_bank(up: int, down: int) -> Tuple[np.ndarray, int, int, int]:
-    """scipy-identical filter → block filter matrix.
+def _block_bank_c1(up: int, down: int):
+    """scipy-identical filter → unchunked block filter matrix.
 
     Output t = b·up + p reads the contiguous window
-    ``xp[b·down + s0 + 1 - (K-1) : … + down]`` and dots it with column p of
+    ``xp[b·down + s0 - (K-1) : … + K + down]`` and dots it with column p of
     the (K+down, up) matrix F — so a whole block of ``up`` outputs is one
-    row of a single GEMM ``W (n_blocks, K+down) @ F``, where W is a strided
-    view with row stride ``down`` (each input sample is read once).
+    row of a GEMM (or one conv window of stride ``down`` — the on-device
+    formulation in ops/speed_perturb.py).
 
-    Returns (F, K, R, s0)."""
+    Returns (F (K+down, up), K, R, s0)."""
     from scipy.signal import firwin
 
     max_rate = max(up, down)
@@ -67,10 +67,17 @@ def _block_bank(up: int, down: int) -> Tuple[np.ndarray, int, int, int]:
         d = svals[p] - s0  # 0..down
         q = (p + R) * down
         F[d: d + K, p] = fbank[q % up]
+    return F, K, R, s0
 
-    # chunk C blocks per GEMM row: wider rows amortize the window-copy
-    # (row width K+C·down covers C·up outputs) at the price of F-zeros.
-    # pick C minimizing copy-bytes/1e10 + MACs/1.5e10 (measured host rates)
+
+@lru_cache(maxsize=128)
+def _block_bank(up: int, down: int) -> Tuple[np.ndarray, int, int, int, int]:
+    """Chunked variant for the host GEMM path: C blocks per GEMM row —
+    wider rows amortize the window-copy (row width K+C·down covers C·up
+    outputs) at the price of F-zeros. C minimizes copy-bytes/1e10 +
+    MACs/1.5e10 (measured host rates). Returns (F, K, R, s0, C)."""
+    F, K, R, s0 = _block_bank_c1(up, down)
+
     def cost(c):
         width = K + c * down
         rows_per_out = 1.0 / (c * up)

@@ -64,6 +64,9 @@ class StepConfig(NamedTuple):
     loss_reduction: str
     pad_index: int
     blank_index: int
+    #: optional DeviceSpeedPerturb — resample on device when the batch
+    #: carries a speed_idx column (TPU-native augmentation placement)
+    device_speed: Any = None
 
 
 def make_optimizer(
@@ -109,6 +112,10 @@ def make_optimizer(
 def _forward(params, cmvn_state, batch, cfg: StepConfig, train: bool,
              update_cmvn: bool, rng):
     wavs, wav_lens = batch["sig"], batch["sig_len"]
+    if cfg.device_speed is not None and train and "speed_idx" in batch:
+        wavs, wav_lens = cfg.device_speed.apply(
+            wavs, wav_lens, batch["speed_idx"]
+        )
     feats = cfg.fbank(wavs)
     if update_cmvn:
         cmvn_state = cmvn_update(cmvn_state, feats, wav_lens)

@@ -83,6 +83,10 @@ class STTrainer:
             loss_reduction=h.get("loss_reduction", "batchmean"),
             pad_index=int(h.get("pad_index", 0)),
             blank_index=int(h.get("blank_index", 0)),
+            device_speed=(
+                h.get("speed_perturb")
+                if getattr(h.get("speed_perturb"), "device", False) else None
+            ),
         )
         self.normalize = modules.get("normalize")
         scheduler = h.get("lr_scheduler")
@@ -223,6 +227,12 @@ class STTrainer:
             "tokens_eos": batch.tokens_eos.data,
             "tokens_eos_len": batch.tokens_eos.lengths,
         }
+        if "speed_idx" in getattr(batch, "extras", {}):
+            import numpy as _np
+
+            arrays["speed_idx"] = _np.asarray(
+                batch.extras["speed_idx"], _np.int32
+            )
         # zero-length row padding so the batch divides the mesh data axis
         arrays = pad_batch_rows(arrays, self.mesh.shape["data"])
         return {

@@ -285,3 +285,50 @@ class TestValidationSearch:
         assert "BLEU" in stats and np.isfinite(stats["BLEU"])
         assert "WER" in stats and np.isfinite(stats["WER"])
         assert "BLEU_no_turn" in stats and "WER_no_turn" in stats
+
+
+class TestDeviceSpeedPerturbTraining:
+    def test_trainer_path_with_device_perturb(self, corpus, tmp_path_factory):
+        """Full trainer plumbing: dataset samples speed_idx, collate carries
+        it through extras, _device_batch ships the array, the jitted step
+        resamples on device; loss finite and decreasing-ish."""
+        from stac_st_tpu.ops.speed_perturb import DeviceSpeedPerturb
+
+        tmp_path = tmp_path_factory.mktemp("exp_devsp")
+        hparams, modules = tiny_hparams(corpus, tmp_path)
+        hparams["speed_perturb"] = DeviceSpeedPerturb(16000, [90, 100, 110])
+        hparams["speed_perturb"].seed(0)
+        dataset = SpeechDataset(
+            corpus["st"], tokenizer=corpus["sp"],
+            replacements={"data_root": corpus["root"]},
+            speed_perturb=hparams["speed_perturb"],
+        )
+        sample = dataset[0]
+        assert "speed_idx" in sample and sample["speed_idx"] in (0, 1, 2)
+        # host signal untouched (device path)
+        entry = dataset.entry(0)
+        assert abs(
+            len(sample["sig"]) / 16000.0 - float(entry["duration"])
+        ) < 0.05
+
+        loader = BatchLoader(dataset, batch_size=4, token_pad_multiple=16)
+        trainer = STTrainer(
+            modules=modules, opt_class=hparams["Adam"], hparams=hparams,
+            run_opts={"data_parallel_count": -1},
+        )
+        assert trainer.cfg.device_speed is hparams["speed_perturb"]
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        for epoch in range(2):
+            loader.set_epoch(epoch)
+            for batch in loader:
+                dev = trainer._device_batch(batch)
+                assert "speed_idx" in dev
+                trainer.ensure_state(dev)
+                rng, k = jax.random.split(rng)
+                trainer.state, metrics = trainer.train_step(
+                    trainer.state, dev, k, update_cmvn=(epoch < 1)
+                )
+                losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]

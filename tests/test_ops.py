@@ -271,3 +271,120 @@ class TestMeshPaddingNeutrality:
         np.testing.assert_allclose(
             float(nll) * B, float(nll_ref) * 2, rtol=1e-5
         )
+
+
+class TestDeviceSpeedPerturb:
+    def test_matches_host_resample_per_row(self, rng):
+        from stac_st_tpu.ops.speed_perturb import (
+            DeviceSpeedPerturb,
+            device_resample,
+        )
+        from stac_st_tpu.data.resample import fast_resample_poly
+
+        x = rng.standard_normal((2, 8000)).astype(np.float32)
+        for s in (90, 100, 110):
+            import math
+
+            g = math.gcd(100, s)
+            n_out = 8000 * (100 // g) // (s // g)
+            n_out += bool((8000 * (100 // g)) % (s // g))
+            y = np.asarray(device_resample(jnp.asarray(x), 100, s, n_out))
+            for b in range(2):
+                ref = fast_resample_poly(x[b], 100, s)
+                np.testing.assert_allclose(
+                    y[b, : len(ref)], ref, atol=1e-4
+                )
+
+    def test_apply_selects_per_row_and_rescales_lengths(self, rng):
+        from stac_st_tpu.ops.speed_perturb import DeviceSpeedPerturb
+        from stac_st_tpu.data.resample import fast_resample_poly
+
+        sp = DeviceSpeedPerturb(16000, [90, 100, 110])
+        W = 8000
+        sig = rng.standard_normal((3, W)).astype(np.float32)
+        lens = np.asarray([1.0, 0.5, 0.75], np.float32)
+        idx = np.asarray([0, 1, 2], np.int32)  # 90, 100, 110
+        out, new_lens = sp.apply(
+            jnp.asarray(sig), jnp.asarray(lens), jnp.asarray(idx)
+        )
+        W_out = sp.out_width(W)
+        assert out.shape == (3, W_out)
+        # row 0: 90% speed -> longer content
+        ref0 = fast_resample_poly(sig[0], 100, 90)
+        np.testing.assert_allclose(
+            np.asarray(out)[0, : len(ref0)], ref0, atol=1e-4
+        )
+        # row 1: identity content, padded
+        np.testing.assert_allclose(np.asarray(out)[1, :W], sig[1], atol=1e-5)
+        # lengths: content_samples * (100/speed) / W_out
+        expect = [
+            min(1.0, 1.0 * W * (100 / 90) / W_out),
+            0.5 * W / W_out,
+            0.75 * W * (100 / 110) / W_out,
+        ]
+        np.testing.assert_allclose(np.asarray(new_lens), expect, rtol=1e-5)
+
+    def test_train_step_with_device_speed(self, rng):
+        """Full jitted train step with on-device perturbation: runs, loss
+        finite, and the speed column actually changes the features."""
+        import jax
+
+        from stac_st_tpu.models import (
+            ConvolutionFrontEnd,
+            LinearHead,
+            TransformerMultiTask,
+        )
+        from stac_st_tpu.ops import Fbank
+        from stac_st_tpu.ops.speed_perturb import DeviceSpeedPerturb
+        from stac_st_tpu.training.optim import AdamW
+        from stac_st_tpu.training.step import (
+            StepConfig,
+            _forward,
+            init_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        vocab, ch, d = 50, 8, 32
+        cfg = StepConfig(
+            fbank=Fbank(),
+            cnn=ConvolutionFrontEnd(out_channels=(ch, ch)),
+            transformer=TransformerMultiTask(
+                tgt_vocab=vocab, input_size=20 * ch, d_model=d, nhead=4,
+                num_encoder_layers=1, num_decoder_layers=1, d_ffn=64,
+                dropout=0.0, normalize_before=True,
+            ),
+            seq_lin=LinearHead(input_size=d, n_neurons=vocab),
+            ctc_lin=LinearHead(input_size=d, n_neurons=vocab),
+            specaug_opts=None, ctc_weight=0.3, label_smoothing=0.1,
+            loss_reduction="batchmean", pad_index=0, blank_index=0,
+            device_speed=DeviceSpeedPerturb(16000, [90, 100, 110]),
+        )
+        tx = make_optimizer(AdamW(lr=1e-3), lambda s: 1e-3)
+        B, L, U = 2, 4000, 8
+        batch = {
+            "sig": jnp.asarray(rng.standard_normal((B, L)), jnp.float32),
+            "sig_len": jnp.ones((B,), jnp.float32),
+            "tokens": jnp.asarray(rng.integers(3, vocab, (B, U)), jnp.int32),
+            "tokens_len": jnp.full((B,), 0.8, jnp.float32),
+            "tokens_bos": jnp.asarray(
+                rng.integers(3, vocab, (B, U)), jnp.int32
+            ),
+            "tokens_eos": jnp.asarray(
+                rng.integers(3, vocab, (B, U)), jnp.int32
+            ),
+            "tokens_eos_len": jnp.full((B,), 0.8, jnp.float32),
+            "speed_idx": jnp.asarray([0, 2], jnp.int32),
+        }
+        state = init_train_state(cfg, tx, jax.random.PRNGKey(0), batch)
+        step = make_train_step(cfg, tx)
+        state, metrics = step(state, batch, jax.random.PRNGKey(1),
+                              update_cmvn=True)
+        assert np.isfinite(float(metrics["loss"]))
+        # different speeds -> different forward outputs
+        b2 = dict(batch, speed_idx=jnp.asarray([1, 1], jnp.int32))
+        p1, *_ = _forward(state.params, state.cmvn, batch, cfg, True,
+                          False, jax.random.PRNGKey(2))
+        p2, *_ = _forward(state.params, state.cmvn, b2, cfg, True,
+                          False, jax.random.PRNGKey(2))
+        assert not np.allclose(np.asarray(p1), np.asarray(p2))

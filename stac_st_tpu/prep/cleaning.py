@@ -399,6 +399,30 @@ def cv_clean_transcript(text: str, lang: str) -> str:
     return " ".join(_moses_tokenizer(lang).tokenize(text))
 
 
+def covost_clean_transcript(text: str, lang: str) -> str:
+    """CoVoST2 translation chain (ref ``convert_covost_splits_to_json.py:
+    107-120``): CV order (normalize_punctuation first) with the MSLT
+    transcription profile (keeps the ``N → n`` fold), then Moses normalize →
+    remove_punctuation → Moses tokenize → join."""
+    text = normalize_punctuation(text)
+    text = clean_transcription(text, MSLT)
+    text = _moses_normalizer(lang).normalize(text)
+    text = remove_punctuation(text)
+    return " ".join(_moses_tokenizer(lang).tokenize(text))
+
+
+def covost_clean_all(text: str, lang: str, accented_letters: bool = True):
+    """Full CoVoST2 per-row cleaning (ref ``:372-427``): chain + accent
+    handling + ≥3-words gate (None ≙ reference ``continue``). The reference
+    CLI default keeps accents (``--keep-accents`` True)."""
+    words = covost_clean_transcript(str(text), lang)
+    words = _finish_clean_all(words, lang, accented_letters)
+    if words is not None and lang not in ["ja", "ch"]:
+        if len(words.split(" ")) < 3:
+            return None
+    return words
+
+
 def strip_accents(text: str) -> str:
     """ASCII-fold accents (ref ``common_voice_prepare.py:442-444``)."""
     return unicodedata.normalize("NFD", text).encode(

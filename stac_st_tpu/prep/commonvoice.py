@@ -39,7 +39,8 @@ def _read_tsv(path: str) -> List[Dict[str, str]]:
 
 
 def _entry_for(row: Dict[str, str], clips_dir: str, locale: str,
-               audio_converter: Optional[Callable]) -> Optional[Dict]:
+               audio_converter: Optional[Callable],
+               duration_threshold: float = 45.0) -> Optional[Dict]:
     mp3 = os.path.join(clips_dir, row["path"])
     wav = os.path.splitext(mp3)[0] + ".wav"
     if not os.path.isfile(wav):
@@ -52,23 +53,24 @@ def _entry_for(row: Dict[str, str], clips_dir: str, locale: str,
     except (ValueError, FileNotFoundError):
         return None
     duration = len(samples) / 16000.0
+    if duration > duration_threshold:  # ref common_voice_prepare.py:283-285
+        return None
     # Full CV chain incl. Moses stages, accent strip, ≥3-words gate
     # (ref common_voice_prepare.py:289-322; the locale string is passed to
     # the Moses stages verbatim, as the reference does)
     text = cv_clean_all(row.get("sentence", ""), locale)
     if not text or duration <= 0:
         return None
+    # reference entry schema (common_voice_prepare.py:339-347): bare clip
+    # key, empty translation_0
     return {
         "wav": wav,
-        "duration": round(duration, 3),
+        "duration": duration,
         "task": "transcription",
         "source_lang": locale,
         "target_lang": locale,
         "transcription": text,
-        "translation_0": text,
-        "transcription_and_translation": f"{text}\n{text}",
-        "client_id": row.get("client_id", ""),
-        "sentence_id": row.get("sentence_id", row.get("path", "")),
+        "translation_0": "",
     }
 
 
@@ -77,6 +79,7 @@ def prepare_common_voice(
     save_folder: str,
     locale: str,
     audio_converter: Optional[Callable] = None,
+    duration_threshold: float = 45.0,
 ) -> Dict[str, str]:
     """Prepare one locale → {save}/{locale}/{split}.json + train_validated."""
     locale_dir = os.path.join(data_folder, locale)
@@ -108,6 +111,7 @@ def prepare_common_voice(
     ]
 
     all_entries: Dict[str, Dict] = {}
+    split_entries: Dict[str, Dict] = {}
     for split, rows in split_rows.items():
         if not rows:
             continue
@@ -115,11 +119,12 @@ def prepare_common_voice(
         skipped = 0
         for row in rows:
             uid = os.path.splitext(os.path.basename(row["path"]))[0]
-            entry = _entry_for(row, clips_dir, locale, audio_converter)
+            entry = _entry_for(row, clips_dir, locale, audio_converter,
+                               duration_threshold)
             if entry is None:
                 skipped += 1
                 continue
-            entries[f"{uid}-asr"] = entry
+            entries[uid] = entry
         if skipped:
             logger.warning("%s/%s: %d clips skipped (no decodable audio)",
                            locale, split, skipped)
@@ -127,9 +132,13 @@ def prepare_common_voice(
         with open(path, "w", encoding="utf-8") as f:
             json.dump(entries, f, indent=2, ensure_ascii=False)
         outputs[split] = path
-        all_entries.update(entries)
+        split_entries[split] = entries
         logger.info("%s/%s: %d utterances", locale, split, len(entries))
 
+    # `all` = dev + test + train_validated (the reference's jq -s add over
+    # exactly those three — run_prepare_commonvoice.sh:48)
+    for split in ("dev", "test", "train_validated"):
+        all_entries.update(split_entries.get(split, {}))
     all_path = os.path.join(out_dir, "all.json")
     with open(all_path, "w", encoding="utf-8") as f:
         json.dump(all_entries, f, indent=2, ensure_ascii=False)

@@ -89,6 +89,10 @@ def ref_modules():
             "cv": load(
                 "ref_cv", "datasets/common_voice_13/common_voice_prepare.py"
             ),
+            "covost": load(
+                "ref_covost",
+                "datasets/covost2/convert_covost_splits_to_json.py",
+            ),
         }
         yield mods
     finally:
@@ -312,6 +316,41 @@ def test_cv_clean_all_matches_reference(ref_modules):
 
     for s in CORPUS[:120]:
         assert cv_clean_all(s, "en") == ref_inline(s, "en"), s
+
+
+def test_covost_full_chain_matches_reference(ref_modules):
+    """CoVoST translation cleaning: chain + accent handling + length gate
+    (the reference's inline statements at convert_covost_splits_to_json.py
+    :395-427)."""
+    import re as _re
+
+    from stac_st_tpu.prep.cleaning import covost_clean_all
+
+    ref = ref_modules["covost"]
+
+    def ref_inline(translation, locale, accented_letters=True):
+        words = ref.unicode_normalisation(translation)
+        words = ref.clean_transcript(words, locale)
+        if not accented_letters:
+            words = ref.strip_accents(words)
+            words = words.replace("'", " ")
+            words = words.replace("\u2019", " ")
+        words = _re.sub(" +", " ", words)
+        words = words.lstrip().rstrip()
+        chars = words.replace(" ", "_")
+        chars = " ".join([char for char in chars][:])
+        if locale in ["ja", "ch"]:
+            if len(chars) < 3:
+                return None
+        else:
+            if len(words.split(" ")) < 3:
+                return None
+        return words
+
+    for s in CORPUS[:120]:
+        for accented in (True, False):
+            assert covost_clean_all(s, "en", accented) == \
+                ref_inline(s, "en", accented), (s, accented)
 
 
 def test_strip_accents_matches_reference(ref_modules):

@@ -381,3 +381,42 @@ class TestAudioConvertFallback:
         for entry in data.values():
             assert entry["wav"].endswith(".wav")
             assert entry["duration"] == 1.0
+
+
+class TestCovost:
+    def test_join_and_clean(self, tmp_path):
+        """CoVoST TSV ⋈ CV manifest: reference key/cleaning semantics."""
+        import json as _json
+
+        from stac_st_tpu.prep.covost import prepare_covost
+
+        cv = {
+            "clip_001": {"wav": "/w/clip_001.wav", "duration": 2.0,
+                         "task": "transcription", "source_lang": "es",
+                         "target_lang": "es",
+                         "transcription": "hola que tal amigo",
+                         "translation_0": ""},
+            "clip_002": {"wav": "/w/clip_002.wav", "duration": 2.0,
+                         "task": "transcription", "source_lang": "es",
+                         "target_lang": "es",
+                         "transcription": "poca cosa", "translation_0": ""},
+        }
+        cv_path = tmp_path / "all.json"
+        cv_path.write_text(_json.dumps(cv))
+        tsv = tmp_path / "covost_v2.es_en.tsv"
+        tsv.write_text(
+            "path\tsentence\ttranslation\tsplit\n"
+            "clip_001.mp3\thola\tHello, how are you my friend?\ttrain\n"
+            "clip_002.mp3\tpoca\tNot much\ttrain\n"     # <3 words -> dropped
+            "clip_404.mp3\tx\tThis clip is missing here\ttrain\n"
+        )
+        out = prepare_covost(str(tsv), str(cv_path), str(tmp_path),
+                             "es", "en")
+        data = _json.load(open(out["train"]))
+        assert list(data) == ["clip_001"]  # bare clip key, reference schema
+        entry = data["clip_001"]
+        assert entry["task"] == "translation"
+        assert entry["target_lang"] == "en"
+        # full cleaning chain: lowercased, punctuation out, tokenized
+        assert entry["translation_0"] == "hello how are you my friend"
+        assert entry["transcription"] == "hola que tal amigo"

@@ -137,12 +137,6 @@ class TransformerMultiTask(nn.Module):
             src_pad = M.src_key_padding_mask(wav_len, S)  # (B, S)
             src_bias = M.additive_bias(src_pad[:, None, None, :])
 
-        tgt_pad = M.tgt_key_padding_mask(tgt, pad_idx)  # (B, T)
-        self_bias = M.additive_bias(
-            M.lookahead_mask(T)[None, None, :, :]
-            | tgt_pad[:, None, None, :]
-        )
-
         h = self.src_drop(self.src_proj(src), deterministic=deterministic)
         if self._encoder_abs_pe:
             h = self._add_pe(h)
@@ -155,11 +149,34 @@ class TransformerMultiTask(nn.Module):
         else:
             enc_out = self.encoder(h, src_bias, deterministic)
 
-        d = self._add_pe(self.tgt_embed(tgt))
-        dec_out, _ = self.decoder(
-            d, enc_out, self_bias, src_bias, deterministic
+        dec_out = self.forward_decoder(
+            tgt, enc_out, wav_len, pad_idx, deterministic
         )
         return enc_out, dec_out
+
+    def forward_decoder(self, tgt, encoder_out, wav_len=None,
+                        pad_idx: int = 0, deterministic: bool = True):
+        """Decoder half of the teacher-forced forward (training mask
+        semantics: target padding + lookahead, round-based cross padding —
+        reference ``TransformerMultiTask.forward``, :172-209). Split out so
+        the pipeline-parallel training step can pair it with a pipelined
+        encoder pass (parallel/pipeline_encoder.py)."""
+        T = tgt.shape[1]
+        S = encoder_out.shape[1]
+        cross_bias = None
+        if wav_len is not None:
+            src_pad = M.src_key_padding_mask(wav_len, S)  # (B, S)
+            cross_bias = M.additive_bias(src_pad[:, None, None, :])
+        tgt_pad = M.tgt_key_padding_mask(tgt, pad_idx)  # (B, T)
+        self_bias = M.additive_bias(
+            M.lookahead_mask(T)[None, None, :, :]
+            | tgt_pad[:, None, None, :]
+        )
+        d = self._add_pe(self.tgt_embed(tgt))
+        dec_out, _ = self.decoder(
+            d, encoder_out, self_bias, cross_bias, deterministic
+        )
+        return dec_out
 
     # -------------------------------------------------------------- encode
     def encode(self, src, wav_len=None, deterministic: bool = True):

@@ -22,7 +22,7 @@ layer fn for activation memory.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,29 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["make_pipe_mesh", "stack_layer_params", "pipeline_apply"]
+__all__ = ["make_pipe_mesh", "stack_layer_params", "pipeline_apply",
+           "PipelineSpec"]
+
+
+class PipelineSpec(NamedTuple):
+    """Static pipeline configuration carried by the train StepConfig.
+
+    ``mesh`` must have the ``axis`` (pipeline stages) and, when data
+    parallelism composes, ``data_axis`` axes; ``num_microbatches=None``
+    defaults to the stage count (minimum bubble-free occupancy — raise it
+    to shrink the GPipe bubble fraction (P-1)/(M+P-1))."""
+
+    mesh: Mesh
+    axis: str = "pipe"
+    data_axis: Optional[str] = "data"
+    num_microbatches: Optional[int] = None
+
+    @property
+    def row_multiple(self) -> int:
+        """Global batch rows must divide data_size * num_microbatches."""
+        d = self.mesh.shape[self.data_axis] if self.data_axis else 1
+        m = self.num_microbatches or self.mesh.shape[self.axis]
+        return d * m
 
 
 def make_pipe_mesh(data: int = 1, pipe: int = -1, devices=None) -> Mesh:
@@ -62,16 +84,21 @@ def pipeline_apply(
     data_axis: Optional[str] = None,
     num_microbatches: Optional[int] = None,
     extra: Any = None,
+    mb_extra: Any = None,
 ):
     """Run ``x`` through L stacked layers pipelined over the ``axis`` stages.
 
-    layer_fn(params_i, x_mb[, extra_mb]) -> x_mb applies ONE layer to one
-    microbatch. ``stacked_params`` has leading dim L (L % P == 0; L//P layers
-    run sequentially per stage). ``x`` is (B, ...) with B divisible by
-    ``num_microbatches`` (default: P) times the data-axis size. ``extra`` is
-    an optional pytree of per-example tensors (leading dim B) — e.g.
-    attention bias — microbatched alongside ``x`` and delivered to the stage
-    currently holding that microbatch.
+    layer_fn(params_i, x_mb[, extra_mb][, mb_extra_i]) -> x_mb applies ONE
+    layer to one microbatch. ``stacked_params`` has leading dim L (L % P ==
+    0; L//P layers run sequentially per stage). ``x`` is (B, ...) with B
+    divisible by ``num_microbatches`` (default: P) times the data-axis size.
+    ``extra`` is an optional pytree of per-example tensors (leading dim B) —
+    e.g. attention bias — microbatched alongside ``x`` and delivered to the
+    stage currently holding that microbatch. ``mb_extra`` is an optional
+    pytree of PER-MICROBATCH values (leading dim ``num_microbatches``,
+    replicated across the mesh) — e.g. dropout keys; when given, layer_fn
+    receives it as its last positional argument (after extra_mb if ``extra``
+    is also given).
     """
     P_ = mesh.shape[axis]
     leaves = jax.tree_util.tree_leaves(stacked_params)
@@ -94,8 +121,9 @@ def pipeline_apply(
     )
     batch_spec = P(data_axis) if data_axis else P()
     extra_specs = jax.tree_util.tree_map(lambda _: batch_spec, extra)
+    mb_extra_specs = jax.tree_util.tree_map(lambda _: P(), mb_extra)
 
-    def stage_program(params_local, x_local, extra_local):
+    def stage_program(params_local, x_local, extra_local, mb_extra_local):
         idx = lax.axis_index(axis)
         mb = x_local.shape[0] // M
         xs = x_local.reshape(M, mb, *x_local.shape[1:])
@@ -103,11 +131,14 @@ def pipeline_apply(
             lambda e: e.reshape(M, mb, *e.shape[1:]), extra_local
         )
 
-        def local_layers(h, ex):
+        def local_layers(h, ex, mbex):
             def body(carry, p):
-                if extra is None:
-                    return layer_fn(p, carry), None
-                return layer_fn(p, carry, ex), None
+                args = [carry]
+                if extra is not None:
+                    args.append(ex)
+                if mb_extra is not None:
+                    args.append(mbex)
+                return layer_fn(p, *args), None
 
             h, _ = lax.scan(body, h, params_local)
             return h
@@ -119,7 +150,10 @@ def pipeline_apply(
             mb_idx = jnp.clip(t - idx, 0, M - 1)
             cur = jnp.where(idx == 0, xs[mb_idx], state)
             ex = jax.tree_util.tree_map(lambda e: e[mb_idx], extras)
-            out = local_layers(cur, ex)
+            mbex = jax.tree_util.tree_map(
+                lambda e: e[mb_idx], mb_extra_local
+            )
+            out = local_layers(cur, ex, mbex)
             nxt = lax.ppermute(out, axis, fwd)
             return nxt, out
 
@@ -134,8 +168,8 @@ def pipeline_apply(
     shmap = jax.shard_map(
         stage_program,
         mesh=mesh,
-        in_specs=(param_specs, batch_spec, extra_specs),
+        in_specs=(param_specs, batch_spec, extra_specs, mb_extra_specs),
         out_specs=batch_spec,
         check_vma=False,
     )
-    return shmap(stacked_params, x, extra)
+    return shmap(stacked_params, x, extra, mb_extra)

@@ -26,7 +26,7 @@ from ..models.transformer import EncoderLayer
 from ..ops import masks as M
 from .pipeline import pipeline_apply, stack_layer_params
 
-__all__ = ["pipelined_encode"]
+__all__ = ["pipelined_encode", "pipelined_encode_train"]
 
 
 def _encoder_layer_def(model: TransformerMultiTask) -> EncoderLayer:
@@ -96,6 +96,120 @@ def pipelined_encode(
         num_microbatches=num_microbatches,
         extra=bias,
     )
+
+    fn = p["encoder"]["final_norm"]
+    mean = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.var(h, axis=-1, keepdims=True)
+    h = (h - mean) / jnp.sqrt(var + 1e-6)
+    return h * fn["scale"] + fn["bias"]
+
+
+def pipelined_encode_train(
+    model: TransformerMultiTask,
+    params: Any,
+    src: jax.Array,
+    wav_len: Optional[jax.Array] = None,
+    *,
+    mesh: Mesh,
+    axis: str = "pipe",
+    data_axis: Optional[str] = None,
+    num_microbatches: Optional[int] = None,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Teacher-forced-forward encoder pass with the layer stack pipelined.
+
+    Mirrors the encoder half of ``TransformerMultiTask.__call__`` (ROUND-
+    based padding mask — reference ``TransformerMultiTask.py:223-232``), so
+    the training step can swap it in; pair with
+    ``model.forward_decoder`` for the decoder half. With ``deterministic=
+    False`` dropout runs inside the pipelined layers, keyed per
+    (microbatch, layer, data-shard) from ``dropout_rng`` — the mask STREAM
+    differs from the sequential path's flax rng folding (both are valid
+    i.i.d. dropout; parity tests compare deterministic passes).
+    """
+    p = params["params"] if "params" in params else params
+    train = not deterministic
+    if train and dropout_rng is None:
+        raise ValueError("dropout_rng is required when deterministic=False")
+    enc_params = p["encoder"]
+    n_layers = model.num_encoder_layers
+    stacked = stack_layer_params(
+        [enc_params[f"layer_{i}"] for i in range(n_layers)]
+    )
+
+    # prelude (replicated): flatten, project, dropout, PE, ROUND-based mask
+    if src.ndim == 4:
+        b, t, c1, c2 = src.shape
+        src = src.reshape(b, t, c1 * c2)
+    S = src.shape[1]
+    h = src @ p["src_proj"]["kernel"] + p["src_proj"]["bias"]
+    if train and model.dropout > 0.0:
+        key_pre, dropout_rng = jax.random.split(dropout_rng)
+        keep = 1.0 - model.dropout
+        mask = jax.random.bernoulli(key_pre, keep, h.shape)
+        h = jnp.where(mask, h / keep, 0.0).astype(h.dtype)
+    if model.attention_type == "regularMHA":
+        from ..models.positional import sinusoidal_table
+
+        pe = jnp.asarray(sinusoidal_table(model.max_length, model.d_model))
+        h = h + pe[None, :S, :].astype(h.dtype)
+    bias = None
+    if wav_len is not None:
+        pad = M.src_key_padding_mask(wav_len, S)  # round (training forward)
+        bias = M.additive_bias(pad[:, None, None, :])
+
+    layer_def = _encoder_layer_def(model)
+    M_ = int(num_microbatches) if num_microbatches else mesh.shape[axis]
+
+    if train and model.dropout > 0.0:
+        # per-layer indices ride the scanned params; per-microbatch keys
+        # ride mb_extra; the data-shard index decorrelates DP shards.
+        stacked = {"p": stacked,
+                   "idx": jnp.arange(n_layers, dtype=jnp.int32)}
+        mb_keys = jax.random.split(dropout_rng, M_)
+
+        if bias is not None:
+            def layer_fn(pk, x_mb, bias_mb, key_mb):
+                key = jax.random.fold_in(key_mb, pk["idx"])
+                if data_axis is not None:
+                    key = jax.random.fold_in(
+                        key, jax.lax.axis_index(data_axis))
+                return layer_def.apply(
+                    {"params": pk["p"]}, x_mb, bias_mb, False,
+                    rngs={"dropout": key})
+        else:
+            def layer_fn(pk, x_mb, key_mb):
+                key = jax.random.fold_in(key_mb, pk["idx"])
+                if data_axis is not None:
+                    key = jax.random.fold_in(
+                        key, jax.lax.axis_index(data_axis))
+                return layer_def.apply(
+                    {"params": pk["p"]}, x_mb, None, False,
+                    rngs={"dropout": key})
+
+        h = pipeline_apply(
+            layer_fn, stacked, h,
+            mesh=mesh, axis=axis, data_axis=data_axis,
+            num_microbatches=num_microbatches,
+            extra=bias, mb_extra=mb_keys,
+        )
+    else:
+        if bias is not None:
+            def layer_fn(layer_params, x_mb, bias_mb):
+                return layer_def.apply(
+                    {"params": layer_params}, x_mb, bias_mb, True)
+        else:
+            def layer_fn(layer_params, x_mb):
+                return layer_def.apply(
+                    {"params": layer_params}, x_mb, None, True)
+
+        h = pipeline_apply(
+            layer_fn, stacked, h,
+            mesh=mesh, axis=axis, data_axis=data_axis,
+            num_microbatches=num_microbatches,
+            extra=bias,
+        )
 
     fn = p["encoder"]["final_norm"]
     mean = jnp.mean(h, axis=-1, keepdims=True)

@@ -67,6 +67,11 @@ class StepConfig(NamedTuple):
     #: optional DeviceSpeedPerturb — resample on device when the batch
     #: carries a speed_idx column (TPU-native augmentation placement)
     device_speed: Any = None
+    #: optional parallel.pipeline.PipelineSpec — pipeline the encoder stack
+    #: over the mesh's pipe axis inside the train/eval step (GPipe; grads
+    #: flow through the ppermute scan — beyond the reference, which has no
+    #: pipeline parallelism)
+    pipeline: Any = None
 
 
 def make_optimizer(
@@ -131,10 +136,29 @@ def _forward(params, cmvn_state, batch, cfg: StepConfig, train: bool,
     src = cfg.cnn.apply(
         params["CNN"], feats, deterministic=not train, rngs=rngs
     )
-    enc_out, dec_out = cfg.transformer.apply(
-        params["Transformer"], src, batch["tokens_bos"], wav_lens,
-        cfg.pad_index, not train, rngs=rngs,
-    )
+    if cfg.pipeline is not None:
+        from ..parallel.pipeline_encoder import pipelined_encode_train
+
+        spec = cfg.pipeline
+        enc_out = pipelined_encode_train(
+            cfg.transformer, params["Transformer"], src, wav_lens,
+            mesh=spec.mesh, axis=spec.axis, data_axis=spec.data_axis,
+            num_microbatches=spec.num_microbatches,
+            dropout_rng=(
+                jax.random.fold_in(rngs["dropout"], 7) if train else None
+            ),
+            deterministic=not train,
+        )
+        dec_out = cfg.transformer.apply(
+            params["Transformer"], batch["tokens_bos"], enc_out, wav_lens,
+            cfg.pad_index, not train, rngs=rngs,
+            method="forward_decoder",
+        )
+    else:
+        enc_out, dec_out = cfg.transformer.apply(
+            params["Transformer"], src, batch["tokens_bos"], wav_lens,
+            cfg.pad_index, not train, rngs=rngs,
+        )
     p_ctc = None
     if cfg.ctc_weight > 0:
         logits_ctc = cfg.ctc_lin.apply(params["ctc_lin"], enc_out)

@@ -71,6 +71,43 @@ class STTrainer:
         self.modules = modules
 
         h = self.hparams
+        # mesh first: pipeline_stages > 1 switches to a (data, pipe) mesh
+        # and the StepConfig carries the PipelineSpec into the jitted step
+        stages = int(
+            self.run_opts.get("pipeline_stages",
+                              h.get("pipeline_stages", 1)) or 1
+        )
+        pipeline_spec = None
+        if stages > 1:
+            from ..parallel.pipeline import PipelineSpec, make_pipe_mesh
+
+            data = int(self.run_opts.get("data_parallel_count", -1))
+            if data == -1:
+                n = jax.device_count()
+                if n % stages:
+                    raise ValueError(
+                        f"{n} devices not divisible by "
+                        f"pipeline_stages={stages}"
+                    )
+                data = n // stages
+            self.mesh = make_pipe_mesh(data=data, pipe=stages)
+            pipeline_spec = PipelineSpec(
+                self.mesh, "pipe", "data",
+                num_microbatches=(
+                    int(h["pipeline_microbatches"])
+                    if h.get("pipeline_microbatches") else None
+                ),
+            )
+        else:
+            self.mesh = make_mesh(
+                data=int(self.run_opts.get("data_parallel_count", -1))
+            )
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._row_multiple = (
+            pipeline_spec.row_multiple if pipeline_spec is not None
+            else self.mesh.shape["data"]
+        )
+
         self.cfg = StepConfig(
             fbank=h["compute_features"],
             cnn=modules["CNN"],
@@ -87,6 +124,7 @@ class STTrainer:
                 h.get("speed_perturb")
                 if getattr(h.get("speed_perturb"), "device", False) else None
             ),
+            pipeline=pipeline_spec,
         )
         self.normalize = modules.get("normalize")
         scheduler = h.get("lr_scheduler")
@@ -111,11 +149,6 @@ class STTrainer:
             self.tx = optax.identity()
             self.train_step = None
         self.eval_forward = make_eval_forward(self.cfg)
-
-        self.mesh = make_mesh(
-            data=int(self.run_opts.get("data_parallel_count", -1))
-        )
-        self._batch_sharding = batch_sharding(self.mesh)
 
         self.state: Optional[TrainState] = None
         self.optimizer_step_limit = int(h.get("optimizer_step_limit", 10**9))
@@ -234,7 +267,8 @@ class STTrainer:
                 batch.extras["speed_idx"], _np.int32
             )
         # zero-length row padding so the batch divides the mesh data axis
-        arrays = pad_batch_rows(arrays, self.mesh.shape["data"])
+        # (times the microbatch count when the encoder is pipelined)
+        arrays = pad_batch_rows(arrays, self._row_multiple)
         return {
             k: jax.device_put(v, self._batch_sharding)
             for k, v in arrays.items()

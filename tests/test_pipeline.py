@@ -213,3 +213,185 @@ class TestPipelinedEncode:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=2e-5
         )
+
+
+class TestPipelinedTraining:
+    """Pipeline parallelism wired into the TRAIN path (VERDICT round-1 #9):
+    pipelined teacher-forced encoder == sequential __call__, and the whole
+    jitted train step (grads through the ppermute scan) matches the
+    unpipelined step."""
+
+    def test_encode_train_matches_forward(self, rng):
+        from stac_st_tpu.models import TransformerMultiTask
+        from stac_st_tpu.parallel.pipeline_encoder import (
+            pipelined_encode_train,
+        )
+
+        model = TransformerMultiTask(
+            tgt_vocab=30, input_size=16, d_model=32, nhead=4,
+            num_encoder_layers=4, num_decoder_layers=1, d_ffn=64,
+            dropout=0.0, normalize_before=True,
+        )
+        src = jnp.asarray(
+            rng.standard_normal((4, 12, 16)).astype(np.float32))
+        tgt = jnp.ones((4, 3), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), src, tgt)
+        mesh = make_pipe_mesh(data=1, pipe=4)
+
+        # the training forward uses the ROUND-based padding mask — compare
+        # against __call__'s encoder output, not encode()'s
+        wav_len = jnp.asarray([1.0, 0.9, 0.62, 0.37])
+        want, _ = model.apply(params, src, tgt, wav_len)
+        got = pipelined_encode_train(
+            model, params, src, wav_len, mesh=mesh,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )
+        # round vs floor masks differ on these lengths: encode() must NOT
+        # match (guards against silently testing the wrong semantics)
+        enc_infer = model.apply(params, src, wav_len, method=model.encode)
+        assert np.abs(np.asarray(enc_infer) - np.asarray(want)).max() > 1e-4
+
+    def _train_setup(self, dropout: float):
+        from stac_st_tpu.models import (
+            ConvolutionFrontEnd, LinearHead, TransformerMultiTask,
+        )
+        from stac_st_tpu.ops import Fbank
+        from stac_st_tpu.training.optim import AdamW
+        from stac_st_tpu.training.schedulers import WarmCoolDecayLRSchedule
+        from stac_st_tpu.training.step import StepConfig, make_optimizer
+
+        vocab, ch, d = 50, 8, 32
+        cfg = StepConfig(
+            fbank=Fbank(),
+            cnn=ConvolutionFrontEnd(out_channels=(ch, ch)),
+            transformer=TransformerMultiTask(
+                tgt_vocab=vocab, input_size=20 * ch, d_model=d, nhead=4,
+                num_encoder_layers=2, num_decoder_layers=1, d_ffn=64,
+                dropout=dropout, normalize_before=True,
+            ),
+            seq_lin=LinearHead(input_size=d, n_neurons=vocab),
+            ctc_lin=LinearHead(input_size=d, n_neurons=vocab),
+            specaug_opts=None,
+            ctc_weight=0.3,
+            label_smoothing=0.1,
+            loss_reduction="batchmean",
+            pad_index=0,
+            blank_index=0,
+        )
+        tx = make_optimizer(
+            AdamW(lr=1e-3),
+            WarmCoolDecayLRSchedule(1e-3, 10, 10, 100, decay_every=10).value,
+        )
+        r = np.random.default_rng(0)
+        B, L, U = 8, 4000, 6
+        batch = {
+            "sig": jnp.asarray(r.standard_normal((B, L)).astype(np.float32)),
+            "sig_len": jnp.asarray(
+                np.linspace(0.4, 1.0, B).astype(np.float32)),
+            "tokens": jnp.asarray(r.integers(3, vocab, (B, U)), jnp.int32),
+            "tokens_len": jnp.full((B,), 0.8, jnp.float32),
+            "tokens_bos": jnp.asarray(
+                r.integers(3, vocab, (B, U)), jnp.int32),
+            "tokens_eos": jnp.asarray(
+                r.integers(3, vocab, (B, U)), jnp.int32),
+            "tokens_eos_len": jnp.full((B,), 0.8, jnp.float32),
+        }
+        return cfg, tx, batch
+
+    def test_train_step_pipeline_matches_sequential(self):
+        from stac_st_tpu.parallel.mesh import batch_sharding
+        from stac_st_tpu.parallel.pipeline import PipelineSpec
+        from stac_st_tpu.training.step import (
+            init_train_state, make_train_step,
+        )
+
+        cfg, tx, batch = self._train_setup(dropout=0.0)
+        rng = jax.random.PRNGKey(0)
+        state0 = init_train_state(cfg, tx, rng, batch)
+
+        step_seq = make_train_step(cfg, tx)
+        state_a, metrics_a = step_seq(
+            jax.device_put(state0), batch, jax.random.PRNGKey(3),
+            update_cmvn=True,
+        )
+
+        mesh = make_pipe_mesh(data=2, pipe=2)
+        spec = PipelineSpec(mesh, "pipe", "data", num_microbatches=2)
+        assert spec.row_multiple == 4
+        step_pipe = make_train_step(cfg._replace(pipeline=spec), tx)
+        sharded = {
+            k: jax.device_put(v, batch_sharding(mesh))
+            for k, v in batch.items()
+        }
+        state_b = init_train_state(cfg, tx, rng, batch)
+        state_b, metrics_b = step_pipe(
+            state_b, sharded, jax.random.PRNGKey(3), update_cmvn=True,
+        )
+
+        np.testing.assert_allclose(
+            float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(metrics_a["grad_norm"]), float(metrics_b["grad_norm"]),
+            rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            float(state_a.cmvn.count), float(state_b.cmvn.count)
+        )
+        # gradients match (post-Adam params are NOT compared elementwise:
+        # the first Adam step normalizes near-zero grads by ~|g|/(|g|+eps),
+        # amplifying fp-noise-level grad differences to lr-scale updates)
+        from stac_st_tpu.training.step import _forward, _objectives
+
+        # fresh state: the jitted steps above DONATED their state arrays
+        state_g = init_train_state(cfg, tx, rng, batch)
+
+        def loss_of(c):
+            def f(params):
+                p_ctc, p_seq, _, _ = _forward(
+                    params, state_g.cmvn, batch if c.pipeline is None
+                    else sharded, c, True, False, jax.random.PRNGKey(3),
+                )
+                loss, _ = _objectives(
+                    p_ctc, p_seq,
+                    batch if c.pipeline is None else sharded, c,
+                )
+                return loss
+            return f
+
+        g_seq = jax.grad(loss_of(cfg))(state_g.params)
+        g_pipe = jax.grad(loss_of(cfg._replace(pipeline=spec)))(state_g.params)
+        for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(g_seq)),
+                        jax.tree_util.tree_leaves(jax.device_get(g_pipe))):
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-5)
+
+    def test_train_step_pipeline_dropout_runs(self):
+        """With dropout active the rng STREAMS differ from the sequential
+        path by design; assert the pipelined step is finite, learns, and
+        actually drops (train loss != deterministic loss)."""
+        from stac_st_tpu.parallel.mesh import batch_sharding
+        from stac_st_tpu.parallel.pipeline import PipelineSpec
+        from stac_st_tpu.training.step import (
+            init_train_state, make_train_step,
+        )
+
+        cfg, tx, batch = self._train_setup(dropout=0.3)
+        mesh = make_pipe_mesh(data=2, pipe=2)
+        spec = PipelineSpec(mesh, "pipe", "data")
+        cfg_p = cfg._replace(pipeline=spec)
+        rng = jax.random.PRNGKey(0)
+        state = init_train_state(cfg, tx, rng, batch)
+        step = make_train_step(cfg_p, tx)
+        sharded = {
+            k: jax.device_put(v, batch_sharding(mesh))
+            for k, v in batch.items()
+        }
+        state1, m1 = step(state, sharded, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m1["loss"]))
+        assert float(m1["grad_norm"]) > 0.0
+        # different rng -> different dropout -> different loss
+        state0 = init_train_state(cfg, tx, rng, batch)
+        _, m2 = step(state0, sharded, jax.random.PRNGKey(2))
+        assert float(m1["loss"]) != float(m2["loss"])

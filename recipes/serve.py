@@ -1,0 +1,146 @@
+#!/usr/bin/env python3
+"""Serve a trained experiment over HTTP and/or gRPC.
+
+The production companion to the batch inference recipe
+(``recipes/inference.py``; the reference has no serving story — its
+inference is a batch loop, ``stac-st/inference.py``). Loads the experiment
+from its own saved config (no model dims re-specified), builds the batched
+:class:`~stac_st_tpu.serving.STEngine`, and exposes it through ONE shared
+coalescing front end so concurrent requests across both transports batch
+into the same TPU calls.
+
+Usage::
+
+    python recipes/serve.py results/transformer_multitask/8886 \
+        --transport both --http-port 8080 --grpc-port 50051
+
+    # single transport
+    python recipes/serve.py EXP_DIR --transport grpc --grpc-port 50051
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import signal
+import threading
+
+logger = logging.getLogger("serve")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.split("\n\n")[0])
+    p.add_argument("experiment_dir",
+                   help="training experiment directory (hyperparams.yaml + "
+                        "save/)")
+    p.add_argument("--tokenizer", default=None,
+                   help="tokenizer .model path (default: from the saved "
+                        "config)")
+    p.add_argument("--transport", choices=("http", "grpc", "both"),
+                   default="http")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--http-port", type=int, default=8080)
+    p.add_argument("--grpc-port", type=int, default=50051)
+    # engine knobs (defaults mirror STEngine)
+    p.add_argument("--source-lang", default="es")
+    p.add_argument("--target-lang", default="en")
+    p.add_argument("--beam-size", type=int, default=10)
+    p.add_argument("--max-decode-tokens", type=int, default=192)
+    p.add_argument("--buckets", default="2,4,8,16,32",
+                   help="comma-separated bucket seconds (compile-once grid)")
+    p.add_argument("--no-bf16", action="store_true",
+                   help="keep fp32 params/activations")
+    p.add_argument("--avg-checkpoints", type=int, default=None,
+                   help="average the top-N saved checkpoints (default: "
+                        "engine default)")
+    # front-end knobs
+    p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--max-wait-ms", type=float, default=20.0)
+    p.add_argument("--request-timeout", type=float, default=300.0)
+    p.add_argument("--log-level", default="INFO")
+    return p
+
+
+def start_servers(args):
+    """Load the experiment and start the requested transports.
+
+    Returns ``(front, servers)`` — the shared coalescing front end and the
+    started transport servers (read bound ports from ``server.port``).
+    Split from :func:`main` so tests can drive the full path with
+    ephemeral ports and close it without signals.
+    """
+    from stac_st_tpu.serving import STEngine
+    from stac_st_tpu.serving_stream import StreamingFrontEnd
+
+    kw = dict(
+        source_lang=args.source_lang,
+        target_lang=args.target_lang,
+        beam_size=args.beam_size,
+        max_decode_tokens=args.max_decode_tokens,
+        bucket_seconds=tuple(
+            float(s) for s in args.buckets.split(",") if s.strip()
+        ),
+        bf16=not args.no_bf16,
+    )
+    if args.avg_checkpoints is not None:
+        kw["avg_checkpoints"] = args.avg_checkpoints
+    logger.info("loading experiment %s", args.experiment_dir)
+    engine = STEngine.from_saved_experiment(
+        args.experiment_dir, tokenizer_file=args.tokenizer, **kw
+    )
+
+    # one front end shared by every transport: concurrent clients coalesce
+    # into the same bucketed TPU calls regardless of protocol
+    front = StreamingFrontEnd(
+        engine, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+    )
+
+    servers = []
+    if args.transport in ("http", "both"):
+        from stac_st_tpu.serving_http import STHttpServer
+
+        servers.append(STHttpServer(
+            front, host=args.host, port=args.http_port,
+            request_timeout=args.request_timeout,
+        ))
+    if args.transport in ("grpc", "both"):
+        from stac_st_tpu.serving_grpc import STGrpcServer
+
+        servers.append(STGrpcServer(
+            front, host=args.host, port=args.grpc_port,
+            request_timeout=args.request_timeout,
+        ))
+
+    for server in servers:
+        server.start()
+        logger.info("%s listening on %s:%d",
+                    type(server).__name__, args.host, server.port)
+    return front, servers
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=getattr(logging, args.log_level.upper(), logging.INFO),
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+    front, servers = start_servers(args)
+
+    done = threading.Event()
+
+    def _stop(signum, frame):
+        logger.info("signal %d: shutting down", signum)
+        done.set()
+
+    signal.signal(signal.SIGTERM, _stop)
+    signal.signal(signal.SIGINT, _stop)
+    try:
+        done.wait()
+    finally:
+        for server in servers:
+            server.close()
+        front.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -198,12 +198,15 @@ class STEngine:
     @classmethod
     def _load_from_save(cls, cnn, transformer, seq_lin, ctc_lin,
                         ckpt_dir: str, tokenizer, n_mels: int,
+                        avg_checkpoints: Optional[int] = None,
                         **kw) -> "STEngine":
         from flax import serialization
 
         from .training.checkpoint import Checkpointer, average_checkpoints
 
-        ckpts = Checkpointer(ckpt_dir).find_checkpoints(max_key="ACC")
+        ckpts = Checkpointer(ckpt_dir).find_checkpoints(
+            max_key="ACC", max_num_checkpoints=avg_checkpoints
+        )
         if not ckpts:
             raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
         raw = average_checkpoints(ckpts, "model")

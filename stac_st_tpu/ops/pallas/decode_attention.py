@@ -93,7 +93,11 @@ def _cross_kernel(q_ref, kT_ref, v_ref, bias_ref, o_ref):
         p = p / jnp.sum(p, axis=1, keepdims=True)
         v_h = v_ref[0, h, :, :].astype(jnp.float32)       # (S, Dh)
         out = jnp.dot(p, v_h, preferred_element_type=jnp.float32)
-        o_ref[:, h, :] = out.astype(o_ref.dtype)
+        # store stays fp32: a bf16 store of (beam, Dh) rows into the
+        # strided middle-h slot needs a sublane relayout Mosaic rejects
+        # ("infer-vector-layout: unsupported shape cast"); the caller
+        # casts the whole output back to the query dtype instead.
+        o_ref[:, h, :] = out
 
 
 @functools.partial(jax.jit, static_argnames=("beam", "interpret"))
@@ -117,7 +121,7 @@ def decode_cross_attention(q, kT, v, bias=None, beam: int = 1,
         bias3 = jnp.pad(bias3, ((0, 0), (0, 0), (0, pad)),
                         constant_values=NEG_INF)
         S = S + pad
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _cross_kernel,
         grid=(B,),
         in_specs=[
@@ -127,6 +131,7 @@ def decode_cross_attention(q, kT, v, bias=None, beam: int = 1,
             pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((beam, H, Dh), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((BB, H, Dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BB, H, Dh), jnp.float32),
         interpret=interpret,
     )(q, kT, v, bias3)
+    return out.astype(q.dtype)

@@ -292,13 +292,32 @@ def beam_search(
         fin_lengths = jnp.take_along_axis(all_fin_lengths, fin_idx, axis=1)
 
         # ---- alive beams: eos winners die (score -inf), rest continue ----
-        alive_tokens = jax.lax.dynamic_update_index_in_dim(
-            parent_tokens.transpose(2, 0, 1), new_tok, t, axis=0
-        ).transpose(1, 2, 0)
+        # where-select on the step axis fuses into the parent gather's
+        # output write (a dynamic_update there forced transposes + an
+        # extra pass over the array)
+        alive_tokens = jnp.where(
+            jnp.arange(max_steps)[None, None, :] == t,
+            new_tok[:, :, None], parent_tokens,
+        )
         alive_scores = jnp.where(is_eos, NEG_INF, new_cum)
 
         flat_parent = (jnp.arange(B)[:, None] * beam + parent).reshape(-1)
-        cache = cache_gather_fn(cache, flat_parent)
+        if isinstance(cache, dict) and cache.get("anc") is not None:
+            # gather-free mode: the K/V caches stay where they were written;
+            # only the (tiny) ancestor table is reordered, and the slot for
+            # the position about to be written maps to its own row. The
+            # Pallas kernel resolves ancestry at attention time
+            # (models/transformer.py step_anc).
+            anc = jnp.take_along_axis(
+                cache["anc"], parent[:, :, None], axis=1
+            )
+            anc = jnp.where(
+                jnp.arange(anc.shape[-1])[None, None, :] == (prompt_len + t),
+                jnp.arange(beam, dtype=jnp.int32)[None, :, None], anc,
+            )
+            cache = {**cache, "anc": anc}
+        else:
+            cache = cache_gather_fn(cache, flat_parent)
         logits, cache = decode_step_fn(
             params, new_tok.reshape(BB), (prompt_len + t).astype(jnp.int32),
             cache,
@@ -502,10 +521,17 @@ class MultiTaskBeamSearch:
             return
         model_def = self.model_def
         seq_def = self.seq_lin_def
+        # gather-free beam decode requires the Pallas ancestor kernel;
+        # captured at bind time so the jit-static closures stay consistent
+        # (toggle stac_st_tpu.ops.pallas BEFORE constructing/binding).
+        from ..ops import pallas as pallas_mod
+
+        anc_mode = pallas_mod.is_enabled()
 
         def init_cache_fn(params, enc_out, max_len, enc_bias=None, beam=1):
             return model_def.apply(
                 params["t"], enc_out, max_len, enc_bias, beam,
+                anc_mode and beam > 1,
                 method=model_def.init_decode_cache,
             )
 

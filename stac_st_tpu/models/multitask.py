@@ -218,19 +218,31 @@ class TransformerMultiTask(nn.Module):
 
     # --------------------------------------------------- KV-cached decode
     def init_decode_cache(self, encoder_out, max_len: int,
-                          enc_mask_bias=None, beam: int = 1):
+                          enc_mask_bias=None, beam: int = 1,
+                          anc_mode: bool = False):
         """Build the functional decode cache.
 
         encoder_out: (B, S, d) — per-utterance, UNTILED even for beam > 1:
         cross-attention K/V is beam-invariant, so it is stored once per
         utterance and shared at attention time (docs/PERF.md). Self caches
-        are allocated at B·beam rows. enc_mask_bias: (B, 1, 1, S)."""
+        are allocated at B·beam rows. enc_mask_bias: (B, 1, 1, S).
+
+        anc_mode=True (gather-free beam decode, Pallas): the cache carries
+        an ancestor table ``anc`` (B, beam, max_len) int32 instead of being
+        physically reordered by the searcher each step; self-attention
+        resolves ancestry inside the kernel (zero extra HBM traffic)."""
         B = encoder_out.shape[0]
         caches = self.decoder.init_cache(
             B * beam, max_len, encoder_out, dtype=encoder_out.dtype,
-            beam=beam,
+            beam=beam, anc_mode=anc_mode,
         )
-        return {"layers": caches, "enc_bias": enc_mask_bias}
+        cache = {"layers": caches, "enc_bias": enc_mask_bias}
+        if anc_mode:
+            cache["anc"] = jnp.tile(
+                jnp.arange(beam, dtype=jnp.int32)[None, :, None],
+                (B, 1, max_len),
+            )
+        return cache
 
     def decode_step(self, tokens, positions, cache):
         """One decode step.
@@ -251,7 +263,8 @@ class TransformerMultiTask(nn.Module):
         b_cross = cache["layers"][0]["cross_k"].shape[0]
         beam = bb // b_cross
         out, new_layers = self.decoder.step(
-            emb, cache["layers"], cache["enc_bias"], beam
+            emb, cache["layers"], cache["enc_bias"], beam,
+            anc=cache.get("anc"),
         )
         return out[:, 0, :], {**cache, "layers": new_layers}
 

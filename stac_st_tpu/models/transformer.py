@@ -144,13 +144,73 @@ class MultiHeadAttention(nn.Module):
         out = jnp.swapaxes(out, 1, 2).reshape(B, 1, self.d_model)
         return self.out_proj(out)
 
-    def step(self, query, cache: Dict[str, Any], bias=None):
-        """Single decode step: query (B, 1, d); appends K/V to the cache."""
+    def step(self, query, cache: Dict[str, Any], bias=None,
+             fused_update: bool = False):
+        """Single decode step: query (B, 1, d); appends K/V to the cache.
+
+        fused_update=True appends via a broadcasted ``where(pos == idx)``
+        select instead of ``dynamic_update_slice``. Inside the beam-search
+        loop the cache arrives as the output of the parent gather; XLA fuses
+        the elementwise select into the gather's output write, so the append
+        costs zero extra HBM passes (a dus after a gather was measured as a
+        second full-cache copy — ~1.6 ms/step at bench shapes). Keep False
+        for greedy decoding, where there is no gather and an in-place dus is
+        cheaper than a full select write.
+        """
         B = query.shape[0]
         H, Dh = self.nhead, self.head_dim
-        # fused QKV: one (d, 3d) matmul instead of three — the decode loop
-        # is per-op-overhead-bound (docs/PERF.md); the param concat is
-        # loop-invariant and hoisted by XLA.
+        q_r, k_r, v_r = self._fused_qkv(query[:, 0, :])
+        q = q_r[:, :, None, :]       # (B, H, 1, Dh)
+        k_new = k_r[:, :, None, :]
+        v_new = v_r[:, :, None, :]
+        idx = cache["index"]
+        S_cache = cache["k"].shape[-1]
+        if fused_update:
+            kT = jnp.where(
+                jnp.arange(S_cache)[None, None, None, :] == idx,
+                jnp.swapaxes(k_new, 2, 3).astype(cache["k"].dtype),
+                cache["k"],
+            )
+            v = jnp.where(
+                jnp.arange(S_cache)[None, None, :, None] == idx,
+                v_new.astype(cache["v"].dtype),
+                cache["v"],
+            )
+        else:
+            kT = jax.lax.dynamic_update_slice(
+                cache["k"],
+                jnp.swapaxes(k_new, 2, 3).astype(cache["k"].dtype),
+                (0, 0, 0, idx),
+            )
+            v = jax.lax.dynamic_update_slice(
+                cache["v"], v_new.astype(cache["v"].dtype), (0, 0, idx, 0)
+            )
+        S = kT.shape[-1]
+        from ..ops import pallas as pallas_mod
+
+        if pallas_mod.is_enabled() and bias is None:
+            from ..ops.pallas.decode_attention import decode_self_attention
+
+            scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+            q_rows = (q.astype(jnp.float32) * scale).astype(q.dtype)[:, :, 0]
+            attn = decode_self_attention(
+                q_rows, kT, v, idx, interpret=pallas_mod.interpret_mode()
+            )  # (B, H, Dh)
+            out = self.out_proj(attn.reshape(B, 1, self.d_model))
+            return out, {"k": kT, "v": v, "index": idx + 1}
+
+        pos_bias = jnp.where(
+            jnp.arange(S)[None, None, None, :] > idx, -1e9, 0.0
+        )
+        if bias is not None:
+            pos_bias = pos_bias + bias
+        out = self._decode_attend(q, kT, v, pos_bias)
+        return out, {"k": kT, "v": v, "index": idx + 1}
+
+    def _fused_qkv(self, query):
+        """One (d, 3d) matmul for the decode step (docs/PERF.md)."""
+        B = query.shape[0]
+        H, Dh = self.nhead, self.head_dim
         w = jnp.concatenate([
             self.q_proj.variables["params"]["kernel"],
             self.k_proj.variables["params"]["kernel"],
@@ -163,37 +223,42 @@ class MultiHeadAttention(nn.Module):
         ])
         qkv = jnp.matmul(query, w) + b.astype(query.dtype)
         q_r, k_r, v_r = jnp.split(qkv, 3, axis=-1)
-        q = jnp.swapaxes(q_r.reshape(B, 1, H, Dh), 1, 2)  # (B, H, 1, Dh)
-        k_new = jnp.swapaxes(k_r.reshape(B, 1, H, Dh), 1, 2)
-        v_new = jnp.swapaxes(v_r.reshape(B, 1, H, Dh), 1, 2)
+        return (q_r.reshape(B, H, Dh), k_r.reshape(B, H, Dh),
+                v_r.reshape(B, H, Dh))
+
+    def step_anc(self, query, cache: Dict[str, Any], anc, beam: int):
+        """Gather-free beam decode step (Pallas ancestor-select kernel).
+
+        The cache rows are never reordered by beam-search parent selection;
+        ``anc`` (B, beam, S) names the cache row holding each beam's
+        key/value per position (maintained by the searcher). Cache layout
+        here is (B·beam, H, S, Dh) for BOTH k and v, so the per-step append
+        is a sublane-index dynamic_update_slice that XLA keeps in place —
+        per-step HBM traffic is exactly one cache read (the attention
+        itself), no gather copy, no append copy.
+        """
+        B = query.shape[0]
+        q, k_new, v_new = self._fused_qkv(query[:, 0, :])
         idx = cache["index"]
-        kT = jax.lax.dynamic_update_slice(
-            cache["k"],
-            jnp.swapaxes(k_new, 2, 3).astype(cache["k"].dtype),
-            (0, 0, 0, idx),
+        k = jax.lax.dynamic_update_slice(
+            cache["k"], k_new[:, :, None, :].astype(cache["k"].dtype),
+            (0, 0, idx, 0),
         )
         v = jax.lax.dynamic_update_slice(
-            cache["v"], v_new.astype(cache["v"].dtype), (0, 0, idx, 0)
+            cache["v"], v_new[:, :, None, :].astype(cache["v"].dtype),
+            (0, 0, idx, 0),
         )
-        S = kT.shape[-1]
         from ..ops import pallas as pallas_mod
+        from ..ops.pallas.decode_attention import decode_self_attention_anc
 
-        if pallas_mod.is_enabled() and bias is None:
-            from ..ops.pallas.decode_attention import decode_self_attention
-
-            scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
-            q_rows = (q.astype(jnp.float32) * scale).astype(q.dtype)[:, :, 0]
-            attn = decode_self_attention(q_rows, kT, v, idx)  # (B, H, Dh)
-            out = self.out_proj(attn.reshape(B, 1, self.d_model))
-            return out, {"k": kT, "v": v, "index": idx + 1}
-
-        pos_bias = jnp.where(
-            jnp.arange(S)[None, None, None, :] > idx, -1e9, 0.0
+        scale = 1.0 / jnp.sqrt(jnp.asarray(self.head_dim, jnp.float32))
+        q_rows = (q.astype(jnp.float32) * scale).astype(q.dtype)
+        attn = decode_self_attention_anc(
+            q_rows, k, v, anc, idx, beam,
+            interpret=pallas_mod.interpret_mode(),
         )
-        if bias is not None:
-            pos_bias = pos_bias + bias
-        out = self._decode_attend(q, kT, v, pos_bias)
-        return out, {"k": kT, "v": v, "index": idx + 1}
+        out = self.out_proj(attn.reshape(B, 1, self.d_model))
+        return out, {"k": k, "v": v, "index": idx + 1}
 
     def step_cross(self, query, kT, v, bias=None, beam: int = 1):
         """Cross-attention step against precomputed decode-layout K/V.
@@ -216,7 +281,10 @@ class MultiHeadAttention(nn.Module):
             bias2d = None
             if bias is not None:
                 bias2d = bias.reshape(bias.shape[0], bias.shape[-1])
-            attn = decode_cross_attention(q_rows, kT, v, bias2d, beam)
+            attn = decode_cross_attention(
+                q_rows, kT, v, bias2d, beam,
+                interpret=pallas_mod.interpret_mode(),
+            )
             return self.out_proj(attn.reshape(BBp, 1, self.d_model))
 
         if beam == 1:
@@ -349,15 +417,21 @@ class DecoderLayer(nn.Module):
 
     # ---- KV-cached single-step mode ------------------------------------
     def init_cache(self, batch: int, max_len: int, memory, dtype=jnp.float32,
-                   beam: int = 1):
+                   beam: int = 1, anc_mode: bool = False):
         """Decode-layout caches: self Kᵀ (B·beam, H, Dh, S) / V (·, H, S, Dh);
         cross K/V precomputed ONCE per utterance (memory is (B, S, d) —
-        untiled) and shared across beams at attention time."""
+        untiled) and shared across beams at attention time. ``anc_mode``
+        (gather-free beam decode, Pallas) stores K like V — (·, H, S, Dh) —
+        so the per-step append is a sublane-index in-place update."""
         head_dim = self.d_model // self.nhead
         k_cross, v_cross = self.cross_attn.project_kv_decode(memory)
+        k_shape = (
+            (batch, self.nhead, max_len, head_dim) if anc_mode
+            else (batch, self.nhead, head_dim, max_len)
+        )
         return {
             "self": {
-                "k": jnp.zeros((batch, self.nhead, head_dim, max_len), dtype),
+                "k": jnp.zeros(k_shape, dtype),
                 "v": jnp.zeros((batch, self.nhead, max_len, head_dim), dtype),
                 "index": jnp.zeros((), jnp.int32),
             },
@@ -365,9 +439,19 @@ class DecoderLayer(nn.Module):
             "cross_v": v_cross,
         }
 
-    def step(self, x, cache, cross_bias=None, beam: int = 1):
+    def step(self, x, cache, cross_bias=None, beam: int = 1, anc=None):
         h = self.norm1(x) if self.normalize_before else x
-        h, self_cache = self.self_attn.step(h, cache["self"])
+        if anc is not None:
+            h, self_cache = self.self_attn.step_anc(
+                h, cache["self"], anc, beam
+            )
+        else:
+            # beam > 1 ⇒ the cache arrives through the parent gather each
+            # step; the fused where-append rides the gather's output write
+            # for free.
+            h, self_cache = self.self_attn.step(
+                h, cache["self"], fused_update=beam > 1
+            )
         if self.normalize_before:
             x = x + h
             h = self.cross_attn.step_cross(
@@ -445,15 +529,15 @@ class TransformerDecoder(nn.Module):
         return self.final_norm(x), attn
 
     def init_cache(self, batch: int, max_len: int, memory,
-                   dtype=jnp.float32, beam: int = 1):
+                   dtype=jnp.float32, beam: int = 1, anc_mode: bool = False):
         return [
-            layer.init_cache(batch, max_len, memory, dtype, beam)
+            layer.init_cache(batch, max_len, memory, dtype, beam, anc_mode)
             for layer in self.layers
         ]
 
-    def step(self, x, caches, cross_bias=None, beam: int = 1):
+    def step(self, x, caches, cross_bias=None, beam: int = 1, anc=None):
         new_caches = []
         for layer, cache in zip(self.layers, caches):
-            x, cache = layer.step(x, cache, cross_bias, beam)
+            x, cache = layer.step(x, cache, cross_bias, beam, anc)
             new_caches.append(cache)
         return self.final_norm(x), new_caches

@@ -90,6 +90,90 @@ class TestDecodeAttentionKernels:
             np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
         )
 
+    def test_anc_attention_parity(self, rng):
+        """Gather-free ancestor-select kernel == explicit-gather oracle."""
+        from stac_st_tpu.ops.pallas.decode_attention import (
+            decode_self_attention_anc,
+        )
+
+        B, beam, H, Dh, S = 2, 3, 2, 64, 24
+        BB = B * beam
+        q = jnp.asarray(rng.standard_normal((BB, H, Dh)).astype(np.float32))
+        k = jnp.asarray(
+            rng.standard_normal((BB, H, S, Dh)).astype(np.float32)
+        )
+        v = jnp.asarray(
+            rng.standard_normal((BB, H, S, Dh)).astype(np.float32)
+        )
+        anc = jnp.asarray(rng.integers(0, beam, (B, beam, S)), jnp.int32)
+        idx = jnp.asarray(13, jnp.int32)
+        out = decode_self_attention_anc(q, k, v, anc, idx, beam,
+                                        interpret=True)
+        # oracle: physically gather each beam's ancestral K/V per position
+        k5 = np.asarray(k).reshape(B, beam, H, S, Dh)
+        v5 = np.asarray(v).reshape(B, beam, H, S, Dh)
+        anc_np = np.asarray(anc)
+        ref = np.zeros((B, beam, H, Dh), np.float32)
+        for b in range(B):
+            for r in range(beam):
+                kg = np.stack(
+                    [k5[b, anc_np[b, r, s], :, s, :] for s in range(S)], 1
+                )  # (H, S, Dh)
+                vg = np.stack(
+                    [v5[b, anc_np[b, r, s], :, s, :] for s in range(S)], 1
+                )
+                logits = np.einsum(
+                    "hd,hsd->hs", np.asarray(q).reshape(B, beam, H, Dh)[b, r],
+                    kg,
+                )
+                logits[:, 14:] = -1e9
+                w = np.exp(logits - logits.max(-1, keepdims=True))
+                w = w / w.sum(-1, keepdims=True)
+                ref[b, r] = np.einsum("hs,hsd->hd", w, vg)
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(B, beam, H, Dh), ref,
+            rtol=2e-4, atol=2e-4,
+        )
+
+    def test_beam_search_anc_mode_equals_gather_mode(self, rng):
+        """Full searcher in gather-free (anc) mode == physical-gather mode."""
+        import stac_st_tpu.ops.pallas as pallas_mod
+        from stac_st_tpu.decoding.beam_search import MultiTaskBeamSearch
+        from stac_st_tpu.models import LinearHead, TransformerMultiTask
+
+        model = TransformerMultiTask(
+            tgt_vocab=40, input_size=16, d_model=64, nhead=2,
+            num_encoder_layers=1, num_decoder_layers=2, d_ffn=64,
+            dropout=0.0, normalize_before=True,
+        )
+        head = LinearHead(input_size=64, n_neurons=40)
+        src = jnp.asarray(rng.standard_normal((2, 12, 16)).astype(np.float32))
+        tgt = jnp.asarray(rng.integers(1, 40, (2, 5)))
+        params = model.init(jax.random.PRNGKey(0), src, tgt)
+        enc = model.apply(params, src, method=model.encode)
+        hp = head.init(jax.random.PRNGKey(1), enc)
+
+        def run():
+            s = MultiTaskBeamSearch(
+                [model, head, None], bos_index=1, eos_index=2,
+                min_decode_ratio=0.0, max_decode_ratio=1.0, beam_size=3,
+                using_eos_threshold=True, length_normalization=True,
+                temperature=1.2,
+            )
+            s.bind(params, hp)
+            s.set_decoder_prefix_tokens(3, 4)
+            return s(enc)
+
+        base_hyps, base_scores = run()
+        try:
+            pallas_mod.enable(interpret=True)
+            anc_hyps, anc_scores = run()
+        finally:
+            pallas_mod.disable()
+        assert anc_hyps == base_hyps
+        np.testing.assert_allclose(anc_scores, base_scores, rtol=1e-4,
+                                   atol=1e-4)
+
     def test_model_step_parity_with_kernels(self, rng):
         """MHA.step with pallas enabled == XLA path (interpret mode)."""
         import stac_st_tpu.ops.pallas as pallas_mod
@@ -121,17 +205,7 @@ class TestDecodeAttentionKernels:
 
         base = roll()
         try:
-            pallas_mod.enable()
-            import stac_st_tpu.ops.pallas.decode_attention as da
-            import functools as ft
-            # force interpret mode on CPU
-            da.decode_self_attention = ft.partial(
-                da.decode_self_attention.__wrapped__, interpret=True
-            ) if hasattr(da.decode_self_attention, "__wrapped__") else \
-                ft.partial(da.decode_self_attention, interpret=True)
-            da.decode_cross_attention = ft.partial(
-                da.decode_cross_attention, interpret=True
-            )
+            pallas_mod.enable(interpret=True)
             fast = roll()
         finally:
             pallas_mod.disable()

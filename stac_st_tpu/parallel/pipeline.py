@@ -18,6 +18,19 @@ is split across it before microbatching (see ``make_pipe_mesh`` /
 Differentiable end-to-end (``ppermute``/``psum`` have exact transposes), so
 the same function serves training; pair with ``jax.checkpoint`` on the
 layer fn for activation memory.
+
+Why GPipe and not 1F1B/interleaved here: 1F1B's memory win (P instead of
+M microbatches in flight) comes from running a microbatch's backward as
+soon as the LAST stage finishes its forward — which requires the loss to
+be computed inside the pipelined region. This pipeline covers the encoder
+segment of a larger differentiable graph (decoder + CTC/NLL losses run
+after it), so output cotangents only exist once the whole outer forward
+completes; fwd and bwd are necessarily separate phases and autodiff
+through the scan (+ remat on the layer fn) is already the optimal
+schedule shape. The bubble fraction (P-1)/(M+P-1) is controlled by
+``num_microbatches`` — raise M to amortize it; interleaved virtual
+stages would not help a forward-phase-only pipeline (bubble work is
+(P-1)·(L/P) layer-applications regardless of chunking).
 """
 
 from __future__ import annotations

@@ -8,6 +8,7 @@ on V100-32GB (BASELINE.md).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -51,6 +52,12 @@ def main():
         loss_reduction="batchmean",
         pad_index=0,
         blank_index=0,
+        # bf16 network compute (the production policy: auto_mix_prec);
+        # STAC_TRAIN_FP32=1 reverts to full fp32 for comparison runs
+        compute_dtype=(
+            None if os.environ.get("STAC_TRAIN_FP32") == "1"
+            else __import__("jax.numpy", fromlist=["bfloat16"]).bfloat16
+        ),
     )
     tx = make_optimizer(
         AdamW(lr=1e-3),
@@ -122,6 +129,7 @@ def main():
         "value": round(audio_per_step / dt, 1),
         "unit": "audio_s_per_s_per_chip",
         "step_ms": round(dt * 1000, 1),
+        "precision": "fp32" if cfg.compute_dtype is None else "bf16",
     }))
 
 

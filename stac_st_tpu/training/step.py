@@ -72,6 +72,15 @@ class StepConfig(NamedTuple):
     #: flow through the ppermute scan — beyond the reference, which has no
     #: pipeline parallelism)
     pipeline: Any = None
+    #: compute dtype for the network forward/backward (None = fp32). With
+    #: jnp.bfloat16 this is the TPU-native equivalent of the reference's
+    #: AMP fit_batch (``train_multitask.py:321-347``, ``auto_mix_prec``
+    #: yaml:75): parameters, optimizer state, feature extraction (fbank/
+    #: CMVN/SpecAugment) and both losses stay fp32; the conv frontend,
+    #: transformer and head matmuls — where the FLOPs are — run in bf16 on
+    #: the MXU. No loss scaling needed (bf16 shares fp32's exponent range,
+    #: unlike the fp16 path the reference must GradScaler around).
+    compute_dtype: Any = None
 
 
 def make_optimizer(
@@ -114,6 +123,16 @@ def make_optimizer(
     return tx
 
 
+def _cast_floats(tree, dtype):
+    """Cast float leaves (params/activations) to the compute dtype."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
 def _forward(params, cmvn_state, batch, cfg: StepConfig, train: bool,
              update_cmvn: bool, rng):
     wavs, wav_lens = batch["sig"], batch["sig_len"]
@@ -132,6 +151,15 @@ def _forward(params, cmvn_state, batch, cfg: StepConfig, train: bool,
         if cfg.specaug_opts is not None:
             feats = spec_augment(feats, k_aug, **dict(cfg.specaug_opts))
         rngs = {"dropout": k_drop}
+
+    if cfg.compute_dtype is not None:
+        # mixed precision: features were extracted/normalized/augmented in
+        # fp32; the network runs in the compute dtype. The param cast is
+        # differentiable — cotangents flow back in bf16 through the network
+        # and convert to fp32 exactly at the parameter leaves, so gradients
+        # and the optimizer stay fp32 (reference AMP semantics).
+        feats = feats.astype(cfg.compute_dtype)
+        params = _cast_floats(params, cfg.compute_dtype)
 
     src = cfg.cnn.apply(
         params["CNN"], feats, deterministic=not train, rngs=rngs
@@ -162,9 +190,9 @@ def _forward(params, cmvn_state, batch, cfg: StepConfig, train: bool,
     p_ctc = None
     if cfg.ctc_weight > 0:
         logits_ctc = cfg.ctc_lin.apply(params["ctc_lin"], enc_out)
-        p_ctc = jax.nn.log_softmax(logits_ctc, axis=-1)
+        p_ctc = jax.nn.log_softmax(logits_ctc.astype(jnp.float32), axis=-1)
     logits_seq = cfg.seq_lin.apply(params["seq_lin"], dec_out)
-    p_seq = jax.nn.log_softmax(logits_seq, axis=-1)
+    p_seq = jax.nn.log_softmax(logits_seq.astype(jnp.float32), axis=-1)
     return p_ctc, p_seq, enc_out, cmvn_state
 
 

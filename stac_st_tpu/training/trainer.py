@@ -108,6 +108,18 @@ class STTrainer:
             else self.mesh.shape["data"]
         )
 
+        # precision: --precision run-opt (arguments.py: bf16 | fp32) wins;
+        # otherwise the YAML's auto_mix_prec selects bf16 — the TPU-native
+        # reading of the reference's AMP fit_batch
+        # (train_multitask.py:321-347). fp32 disables the cast entirely.
+        precision = str(self.run_opts.get("precision", "") or "").lower()
+        if precision == "fp32":
+            compute_dtype = None
+        elif precision == "bf16":
+            compute_dtype = jnp.bfloat16
+        else:
+            compute_dtype = jnp.bfloat16 if h.get("auto_mix_prec") else None
+
         self.cfg = StepConfig(
             fbank=h["compute_features"],
             cnn=modules["CNN"],
@@ -125,6 +137,7 @@ class STTrainer:
                 if getattr(h.get("speed_perturb"), "device", False) else None
             ),
             pipeline=pipeline_spec,
+            compute_dtype=compute_dtype,
         )
         self.normalize = modules.get("normalize")
         scheduler = h.get("lr_scheduler")

@@ -332,3 +332,69 @@ class TestDeviceSpeedPerturbTraining:
                 losses.append(float(metrics["loss"]))
         assert all(np.isfinite(l) for l in losses)
         assert losses[-1] < losses[0]
+
+
+class TestMixedPrecisionTraining:
+    def test_bf16_step_matches_fp32_and_trains(self, corpus, tmp_path_factory):
+        """auto_mix_prec -> bf16 network compute with fp32 params/optimizer
+        (the reference's AMP fit_batch, train_multitask.py:321-347):
+        parameters stay fp32, the first-step loss tracks the fp32 loss to
+        bf16 tolerance, and training converges."""
+        tmp_path = tmp_path_factory.mktemp("exp_bf16")
+        hparams, modules = tiny_hparams(corpus, tmp_path)
+        hparams["auto_mix_prec"] = True
+        dataset = SpeechDataset(
+            corpus["st"], tokenizer=corpus["sp"],
+            replacements={"data_root": corpus["root"]},
+        )
+        loader = BatchLoader(dataset, batch_size=4, token_pad_multiple=16)
+        trainer = STTrainer(
+            modules=modules, opt_class=hparams["Adam"], hparams=hparams,
+            run_opts={"data_parallel_count": -1},
+        )
+        assert trainer.cfg.compute_dtype == jnp.bfloat16
+        # fp32 twin (--precision run-opt overrides the YAML flag)
+        hparams32, modules32 = tiny_hparams(corpus, tmp_path)
+        hparams32["auto_mix_prec"] = True
+        trainer32 = STTrainer(
+            modules=modules32, opt_class=hparams32["Adam"], hparams=hparams32,
+            run_opts={"data_parallel_count": -1, "precision": "fp32"},
+        )
+        assert trainer32.cfg.compute_dtype is None
+
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        first_losses = {}
+        for name, tr in (("bf16", trainer), ("fp32", trainer32)):
+            loader.set_epoch(0)
+            batch = next(iter(loader))
+            dev = tr._device_batch(batch)
+            tr.ensure_state(dev)
+            # train_step donates the state — keep the returned one
+            tr.state, metrics = tr.train_step(
+                tr.state, dev, jax.random.PRNGKey(1), update_cmvn=True
+            )
+            first_losses[name] = float(metrics["loss"])
+        assert np.isfinite(first_losses["bf16"])
+        assert abs(first_losses["bf16"] - first_losses["fp32"]) < 0.05 * (
+            abs(first_losses["fp32"]) + 1.0
+        )
+
+        rng = jax.random.PRNGKey(0)
+        for epoch in range(4):
+            loader.set_epoch(epoch)
+            for batch in loader:
+                dev = trainer._device_batch(batch)
+                rng, k = jax.random.split(rng)
+                trainer.state, metrics = trainer.train_step(
+                    trainer.state, dev, k, update_cmvn=(epoch < 2)
+                )
+                losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]
+        # parameters and Adam moments stay fp32 under the bf16 policy
+        for leaf in jax.tree_util.tree_leaves(trainer.state.params):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(
+                leaf.dtype, jnp.floating
+            ):
+                assert leaf.dtype == jnp.float32

@@ -16,6 +16,9 @@ import numpy as np
 
 def main():
     import jax
+    if os.environ.get("STAC_TRAIN_THREEFRY") != "1":
+        # TPU hardware RngBitGenerator for dropout bits (docs/PERF.md)
+        jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from stac_st_tpu.models import (

@@ -166,6 +166,18 @@ class STTrainer:
         self.state: Optional[TrainState] = None
         self.optimizer_step_limit = int(h.get("optimizer_step_limit", 10**9))
         self.avg_checkpoints = int(h.get("avg_checkpoints", 5))
+        # Dropout RNG: threefry (JAX default) generates ~1 GB of random
+        # bits per train step at bench shapes and was measured as the
+        # single largest step cost (22.7 -> 4.0 ms forward without it;
+        # docs/PERF.md). TPU's hardware RngBitGenerator ('rbg') cuts the
+        # full step 53 -> 30 ms with identical i.i.d. dropout statistics.
+        # The impl must be selected via jax.config BEFORE key creation —
+        # typed per-key impl (jax.random.key(..., impl='rbg')) measured 3x
+        # SLOWER than threefry here (158 ms/step), so keys stay raw.
+        # run_opt rng_impl: rbg (default) | unsafe_rbg | threefry.
+        rng_impl = str(self.run_opts.get("rng_impl", "rbg")).lower()
+        if rng_impl != "threefry":
+            jax.config.update("jax_default_prng_impl", rng_impl)
         self._rng = jax.random.PRNGKey(int(h.get("seed", 8886)))
         self.train_stats: Dict[str, float] = {}
         self.debug = bool(self.run_opts.get("debug", False))

@@ -78,7 +78,7 @@ def default_cache_gather(cache, flat_parent):
     jax.jit,
     static_argnames=(
         "decode_step_fn", "init_cache_fn", "cache_gather_fn", "max_steps",
-        "config", "lm_step_fn", "lm_init_fn",
+        "config", "lm_step_fn", "lm_init_fn", "settled_bound_len",
     ),
 )
 def beam_search(
@@ -95,6 +95,7 @@ def beam_search(
     ctc_input_lengths: Optional[jax.Array] = None,
     lm_step_fn: Optional[Callable] = None,
     lm_init_fn: Optional[Callable] = None,
+    settled_bound_len: Optional[int] = None,
 ):
     """Run beam search.
 
@@ -119,10 +120,20 @@ def beam_search(
         eos-threshold gate, as in SB's main loop.
       lm_init_fn: (params, batch_beam) -> initial lm_state (leaves leading
         with BB are gathered on beam reorder).
+      settled_bound_len: optional length (≥ max_steps) to use as the
+        length-normalization denominator in the early-exit bound. With the
+        default (max_steps) the bound certifies the result for THIS budget;
+        with a larger value it certifies the result would be identical
+        under a budget of ``settled_bound_len`` steps — the basis for
+        tiered decoding (run a small budget first, rerun the full budget
+        only for batches whose ``settled`` flag is False).
 
     Returns:
       tokens (B, max_steps) best hypothesis (post-prompt, no eos),
-      lengths (B,), scores (B,).
+      lengths (B,), scores (B,),
+      settled (B,) bool — True where no alive beam could still beat the
+      best finished hypothesis under the (bound) budget, i.e. the row's
+      result is final regardless of additional decode steps.
     """
     B, S, _ = enc_out.shape
     beam = config.beam_size
@@ -348,11 +359,19 @@ def beam_search(
         CTC prefix-score deltas are non-positive — so the bound holds.)"""
         t = carry[0]
         alive_scores, fin_scores = carry[2], carry[4]
+        unsettled = _unsettled(alive_scores, fin_scores)
+        return jnp.logical_and(t < max_steps, jnp.any(unsettled))
+
+    # normalizer for the settle bound: max_steps certifies this budget;
+    # settled_bound_len (≥ max_steps) certifies a larger one (tiering)
+    norm_len = float(settled_bound_len or max_steps)
+    assert norm_len >= max_steps, (settled_bound_len, max_steps)
+
+    def _unsettled(alive_scores, fin_scores):
         bound = jnp.max(alive_scores, axis=1)
         if config.length_normalization:
-            bound = bound / float(max_steps)
-        unsettled = bound > jnp.max(fin_scores, axis=1)
-        return jnp.logical_and(t < max_steps, jnp.any(unsettled))
+            bound = bound / norm_len
+        return bound > jnp.max(fin_scores, axis=1)
 
     def body(carry):
         return step(carry[1:], carry[0])
@@ -380,7 +399,8 @@ def beam_search(
     tokens = jnp.take_along_axis(all_tokens, best[:, None, None], axis=1)[:, 0]
     lengths = jnp.take_along_axis(all_lengths, best[:, None], axis=1)[:, 0]
     scores = jnp.take_along_axis(all_scores, best[:, None], axis=1)[:, 0]
-    return tokens, lengths, scores
+    settled = jnp.logical_not(_unsettled(alive_scores, fin_scores))
+    return tokens, lengths, scores, settled
 
 
 def greedy_search(decode_step_fn, init_cache_fn, params, enc_out, prompt,
@@ -392,10 +412,11 @@ def greedy_search(decode_step_fn, init_cache_fn, params, enc_out, prompt,
     cfg = BeamSearchConfig(
         beam_size=1, eos_index=eos_index, temperature=temperature
     )
-    return beam_search(
+    tokens, lengths, scores, _ = beam_search(
         decode_step_fn, init_cache_fn, params, enc_out, prompt, max_steps,
         cfg, cache_gather_fn, enc_bias,
     )
+    return tokens, lengths, scores
 
 
 class MultiTaskBeamSearch:
@@ -461,6 +482,18 @@ class MultiTaskBeamSearch:
         self.max_decode_tokens = (
             int(max_decode_tokens) if max_decode_tokens else None
         )
+        # tiered decoding: when a serving cap is set, optionally run the
+        # search at this small step budget first — per-step cache reads
+        # scale with the ALLOCATED budget — and rerun the full budget only
+        # if some batch row is not provably settled (the early-exit bound
+        # normalized by the FULL budget certifies budget-independence; see
+        # beam_search settled_bound_len). Exact on both paths
+        # (tests/test_beam_search.py::TestTieredDecoding). Default OFF:
+        # measured SLOWER on the trained bench (1302 vs 1415 RTFx) — the
+        # cross-budget certificate needs alive scores to decay ~3x further
+        # than the budget-local exit, so the tier pass runs past the point
+        # the plain capped search would already have stopped (docs/PERF.md).
+        self.decode_tier: Optional[int] = None
         self.bos_token = int(bos_index)
         self.source_lang = int(source_lang)
         self.target_lang = int(target_lang)
@@ -590,12 +623,25 @@ class MultiTaskBeamSearch:
             ctc_lens = jnp.floor(
                 jnp.asarray(wav_lens) * ctc_log_probs.shape[1]
             ).astype(jnp.int32)
-        tokens, lengths, scores = beam_search(
-            self._decode_step_fn, self._init_cache_fn, self._params, enc_out,
-            prompt, max_steps, self.config, self._cache_gather_fn,
-            enc_bias, ctc_log_probs, ctc_lens,
-            lm_step_fn=self._lm_step_fn, lm_init_fn=self._lm_init_fn,
-        )
+        def run(budget, bound_len=None):
+            return beam_search(
+                self._decode_step_fn, self._init_cache_fn, self._params,
+                enc_out, prompt, budget, self.config, self._cache_gather_fn,
+                enc_bias, ctc_log_probs, ctc_lens,
+                lm_step_fn=self._lm_step_fn, lm_init_fn=self._lm_init_fn,
+                settled_bound_len=bound_len,
+            )
+
+        tier = self.decode_tier if self.max_decode_tokens is not None else None
+        min_steps = int(self.config.min_decode_ratio * S)
+        if tier is not None and min_steps < tier < max_steps:
+            tokens, lengths, scores, settled = run(tier, bound_len=max_steps)
+            if not bool(np.all(np.asarray(settled))):
+                # some row could still improve with more steps — rerun the
+                # full budget (settled rows reproduce identical results)
+                tokens, lengths, scores, _ = run(max_steps)
+        else:
+            tokens, lengths, scores, _ = run(max_steps)
         tokens = np.asarray(tokens)
         lengths = np.asarray(lengths)
         hyps = [

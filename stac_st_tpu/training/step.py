@@ -116,6 +116,9 @@ def make_optimizer(
         )
     chain = [optax.clip_by_global_norm(max_grad_norm)] if max_grad_norm else []
     tx: optax.GradientTransformation = optax.chain(*chain, core)
+    # (optax.flatten was tried here — running AdamW over one contiguous
+    # vector instead of ~400 leaves — and measured no step-time change;
+    # XLA already fuses the leaf-wise update well. docs/PERF.md.)
     if nonfinite_patience:
         tx = optax.apply_if_finite(tx, max_consecutive_errors=nonfinite_patience)
     if grad_accumulation_factor > 1:

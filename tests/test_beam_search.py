@@ -251,3 +251,80 @@ class TestLMFusion:
         s.set_decoder_prefix_tokens(5, 9)
         _, sc_lm = s(enc)
         assert not np.allclose(sc_base, sc_lm)
+
+
+class TestTieredDecoding:
+    """decode_tier: small-budget first pass + settled certificate.
+
+    Exactness contract: with a serving cap set, the tiered searcher must
+    return byte-identical hypotheses/scores to the single-pass full-budget
+    searcher — on both the settled fast path (confident model, eos early)
+    and the unsettled rerun path (random weights, eos-threshold)."""
+
+    def _eos_biased_params(self, setup, boost=12.0):
+        import jax
+
+        def bump(tree):
+            def f(path_leaf):
+                return path_leaf
+            p = jax.tree_util.tree_map(lambda x: x, tree)
+            bias = np.asarray(p["params"]["linear"]["bias"]).copy()
+            bias[2] += boost
+            p["params"]["linear"]["bias"] = jnp.asarray(bias)
+            return p
+        return bump(setup["s_params"])
+
+    def _searcher(self, setup, s_params, tier, cap=8):
+        s = setup["make_searcher"](
+            beam_size=3, length_normalization=True,
+            max_decode_tokens=cap,
+        )
+        s.bind(setup["t_params"], s_params)
+        s.decode_tier = tier
+        s.set_decoder_prefix_tokens(5, 9)
+        return s
+
+    def test_settled_fast_path_matches_full(self, setup):
+        enc = _random_enc(setup, 3, 20)
+        sp = self._eos_biased_params(setup)
+        tiered = self._searcher(setup, sp, tier=3)
+        single = self._searcher(setup, sp, tier=None)
+        h_t, sc_t = tiered(enc)
+        h_s, sc_s = single(enc)
+        assert h_t == h_s
+        np.testing.assert_allclose(sc_t, sc_s, atol=1e-5)
+        # the settled certificate really fires at the small budget
+        from stac_st_tpu.decoding.beam_search import beam_search
+
+        _, _, _, settled = beam_search(
+            tiered._decode_step_fn, tiered._init_cache_fn, tiered._params,
+            enc, jnp.asarray([1, 5, 9], jnp.int32), 3, tiered.config,
+            tiered._cache_gather_fn, settled_bound_len=8,
+        )
+        assert bool(np.all(np.asarray(settled)))
+
+    def test_unsettled_rerun_matches_full(self, setup):
+        enc = _random_enc(setup, 2, 20)
+        tiered = self._searcher(setup, setup["s_params"], tier=3)
+        single = self._searcher(setup, setup["s_params"], tier=None)
+        # random weights + eos-threshold: nothing settles at the tier
+        tiered.config = tiered.config._replace(using_eos_threshold=True,
+                                               eos_threshold=1.5)
+        single.config = single.config._replace(using_eos_threshold=True,
+                                               eos_threshold=1.5)
+        h_t, sc_t = tiered(enc)
+        h_s, sc_s = single(enc)
+        assert h_t == h_s
+        np.testing.assert_allclose(sc_t, sc_s, atol=1e-5)
+
+    def test_no_cap_stays_single_pass(self, setup):
+        """Without max_decode_tokens (reference budget semantics) the tier
+        knob must be inert."""
+        enc = _random_enc(setup, 2, 10)
+        s = setup["make_searcher"](beam_size=3)
+        s.set_decoder_prefix_tokens(5, 9)
+        base_h, base_sc = s(enc)
+        s.decode_tier = 2
+        h, sc = s(enc)
+        assert h == base_h
+        np.testing.assert_array_equal(sc, base_sc)

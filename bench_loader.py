@@ -31,7 +31,7 @@ from stac_st_tpu.data.loader import BatchLoader
 from stac_st_tpu.data.sampler import DynamicBatchSampler
 from stac_st_tpu.ops.speed_perturb import SpeedPerturb
 
-DEVICE_RATE = 3970.0  # audio-s/s, docs/PERF.md
+DEVICE_RATE = 8038.0  # audio-s/s (bf16 + rbg step, docs/PERF.md)
 
 
 def _write_sphere(path, samples, rate=8000):
@@ -77,11 +77,20 @@ def build_corpus(root, fmt, n_utts, seconds):
     return mpath
 
 
-def bench(manifest, num_workers, epochs=2):
+def bench(manifest, num_workers, epochs=2, device_perturb=True):
+    if device_perturb:
+        # production config: DeviceSpeedPerturb resamples on the TPU inside
+        # the jitted step; the host only samples a per-utterance speed index
+        from stac_st_tpu.ops.speed_perturb import DeviceSpeedPerturb
+
+        perturb = DeviceSpeedPerturb(16000, [90, 100, 110])
+        perturb.seed(1234)
+    else:
+        perturb = SpeedPerturb(speeds=[95, 100, 105], seed=1234)
     ds = SpeechDataset(
         manifest,
         tokenizer=None,
-        speed_perturb=SpeedPerturb(speeds=[95, 100, 105], seed=1234),
+        speed_perturb=perturb,
     )
     sampler = DynamicBatchSampler(
         ds.durations(), max_batch_length=450.0, num_buckets=20, shuffle=True
@@ -119,20 +128,33 @@ def main():
                 os.path.join(tmp, fmt), fmt, args.utts, args.seconds
             )
             for nw in args.workers:
-                rate = bench(manifest, nw, args.epochs)
-                print(json.dumps({
-                    "metric": "loader_audio_seconds_per_second",
-                    "format": fmt,
-                    "num_workers": nw,
-                    "value": round(rate, 1),
-                    "unit": "audio-s/s",
-                    "vs_device_rate": round(rate / DEVICE_RATE, 2),
-                }))
-                best[fmt] = max(best.get(fmt, 0.0), rate)
+                for dev_p in (True, False):
+                    rate = bench(manifest, nw, args.epochs, dev_p)
+                    print(json.dumps({
+                        "metric": "loader_audio_seconds_per_second",
+                        "format": fmt,
+                        "num_workers": nw,
+                        "speed_perturb": "device" if dev_p else "host",
+                        "value": round(rate, 1),
+                        "unit": "audio-s/s",
+                        "vs_device_rate": round(rate / DEVICE_RATE, 2),
+                    }))
+                    if dev_p:  # headroom gate uses the production config
+                        best[fmt] = max(best.get(fmt, 0.0), rate)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    ok = all(v >= 2 * DEVICE_RATE for v in best.values())
+    # Headroom accounting: this box has ONE host core, so the measured
+    # rate is per-core. After the train step doubled (docs/PERF.md:
+    # 3,970 -> 8,038 audio-s/s), one core no longer holds 2x headroom —
+    # report how many cores the production pipeline needs for it
+    # (workers scale across cores; the reference assumes 32, yaml:74).
+    ncores = os.cpu_count() or 1
+    worst = min(best.values()) if best else 0.0
+    cores_for_2x = (
+        int(np.ceil(2 * DEVICE_RATE / (worst / ncores))) if worst else -1
+    )
+    ok = worst >= 2 * DEVICE_RATE
     print(json.dumps({
         "metric": "loader_headroom",
         "best_wav": round(best.get("wav", 0.0), 1),
@@ -140,6 +162,8 @@ def main():
         "device_rate": DEVICE_RATE,
         "target": "2x device rate",
         "pass": ok,
+        "host_cores": ncores,
+        "cores_for_2x_headroom": cores_for_2x,
     }))
     return 0 if ok else 1
 

@@ -39,16 +39,27 @@ def main():
     BATCH, SECONDS, SR, U = 16, 15.0, 16000, 128
     VOCAB = 5000
 
+    # reference scale grid (ablations/run_m_and_l_size.sh:72-99)
+    PRESETS = {
+        "small": dict(d=256, h=4, enc=12, dec=6),
+        "medium": dict(d=512, h=8, enc=16, dec=6),
+        "large": dict(d=1024, h=16, enc=14, dec=6),
+    }
+    preset = PRESETS[os.environ.get("STAC_TRAIN_PRESET", "small")]
+    D_M, NH, ENC_L, DEC_L = (preset["d"], preset["h"], preset["enc"],
+                             preset["dec"])
+
     cfg = StepConfig(
         fbank=Fbank(),
         cnn=ConvolutionFrontEnd(),
         transformer=TransformerMultiTask(
-            tgt_vocab=VOCAB, input_size=5120, d_model=256, nhead=4,
-            num_encoder_layers=12, num_decoder_layers=6, d_ffn=1024,
+            tgt_vocab=VOCAB, input_size=5120, d_model=D_M, nhead=NH,
+            num_encoder_layers=ENC_L, num_decoder_layers=DEC_L,
+            d_ffn=4 * D_M,
             dropout=0.1, normalize_before=True,
         ),
-        seq_lin=LinearHead(input_size=256, n_neurons=VOCAB),
-        ctc_lin=LinearHead(input_size=256, n_neurons=VOCAB),
+        seq_lin=LinearHead(input_size=D_M, n_neurons=VOCAB),
+        ctc_lin=LinearHead(input_size=D_M, n_neurons=VOCAB),
         specaug_opts=None,
         ctc_weight=0.3,
         label_smoothing=0.1,
@@ -133,6 +144,7 @@ def main():
         "unit": "audio_s_per_s_per_chip",
         "step_ms": round(dt * 1000, 1),
         "precision": "fp32" if cfg.compute_dtype is None else "bf16",
+        "preset": os.environ.get("STAC_TRAIN_PRESET", "small"),
     }))
 
 

@@ -349,19 +349,6 @@ def beam_search(
             new_lm_logp,
         )
 
-    def cond(carry):
-        """Early exit: stop once no alive beam can still beat its batch's
-        best finished hypothesis. Alive raw scores only decrease; without
-        length normalization the bound is the current max, with it the
-        least-negative reachable value raw/max_steps. Exact — results match
-        the full-budget loop (tests/test_beam_search.py). (With joint CTC
-        blending the per-step increments stay ≤ 0 — both att log-probs and
-        CTC prefix-score deltas are non-positive — so the bound holds.)"""
-        t = carry[0]
-        alive_scores, fin_scores = carry[2], carry[4]
-        unsettled = _unsettled(alive_scores, fin_scores)
-        return jnp.logical_and(t < max_steps, jnp.any(unsettled))
-
     # normalizer for the settle bound: max_steps certifies this budget;
     # settled_bound_len (≥ max_steps) certifies a larger one (tiering)
     norm_len = float(settled_bound_len or max_steps)
@@ -372,6 +359,21 @@ def beam_search(
         if config.length_normalization:
             bound = bound / norm_len
         return bound > jnp.max(fin_scores, axis=1)
+
+    def cond(carry):
+        """Early exit: stop once no alive beam can still beat its batch's
+        best finished hypothesis. Alive raw scores only decrease; without
+        length normalization the bound is the current max, with it the
+        least-negative reachable value raw/norm_len (norm_len = max_steps,
+        or settled_bound_len when certifying a larger budget). Exact —
+        results match the full-budget loop (tests/test_beam_search.py).
+        (With joint CTC blending the per-step increments stay ≤ 0 — both
+        att log-probs and CTC prefix-score deltas are non-positive — so
+        the bound holds.)"""
+        t = carry[0]
+        alive_scores, fin_scores = carry[2], carry[4]
+        unsettled = _unsettled(alive_scores, fin_scores)
+        return jnp.logical_and(t < max_steps, jnp.any(unsettled))
 
     def body(carry):
         return step(carry[1:], carry[0])

@@ -33,7 +33,6 @@ def main():
         StepConfig,
         init_train_state,
         make_optimizer,
-        make_train_step,
     )
 
     BATCH, SECONDS, SR, U = 16, 15.0, 16000, 128

@@ -21,3 +21,15 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(8886)
+
+
+@pytest.fixture(autouse=True)
+def _stable_prng_impl():
+    """STTrainer flips jax_default_prng_impl to 'rbg' globally (the
+    measured-2x dropout-RNG fix, docs/PERF.md); restore the default after
+    each test so unrelated tests keep threefry-reproducible keys
+    regardless of execution order."""
+    prev = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != prev:
+        jax.config.update("jax_default_prng_impl", prev)

@@ -6,7 +6,6 @@ import jax
 import jax.numpy as jnp
 
 from stac_st_tpu.decoding.beam_search import (
-    BeamSearchConfig,
     MultiTaskBeamSearch,
     beam_search,
 )

@@ -5,7 +5,6 @@ multitask model → loss decreases → prompted beam search decodes → checkpoi
 save/average/resume.
 """
 
-import os
 
 import numpy as np
 import pytest

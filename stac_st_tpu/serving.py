@@ -64,7 +64,16 @@ class STEngine:
         bf16: bool = True,
         turn_id: int = 7,
         xt_id: int = 8,
+        mesh=None,
     ):
+        """mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis —
+        fleet serving: parameters/CMVN are replicated across the mesh and
+        every request batch is sharded on its rows, so encode + beam
+        search run data-parallel over all chips (the search is
+        embarrassingly parallel per utterance; per-chip RTFx is constant
+        and fleet throughput scales linearly — docs/PERF.md). Rows are
+        padded to a multiple of the data-axis size and the pads dropped on
+        output."""
         self.tokenizer = tokenizer
         self.sample_rate = int(sample_rate)
         self.buckets = tuple(sorted(bucket_seconds))
@@ -86,6 +95,14 @@ class STEngine:
                 k: (cast(v) if k != "normalize" else v)
                 for k, v in params.items()
             }
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicated = NamedSharding(mesh, PartitionSpec())
+            params = jax.device_put(params, replicated)
+            cmvn = jax.device_put(cmvn, replicated)
+            self.cmvn = cmvn
         self.params = params
         self._bf16 = bf16
 
@@ -256,12 +273,28 @@ class STEngine:
             by_width.setdefault(self._bucket_width(len(wav)), []).append(i)
         groups = []
         for width, idx in sorted(by_width.items()):
-            batch = np.zeros((len(idx), width), np.float32)
-            lens = np.zeros((len(idx),), np.float32)
+            rows = len(idx)
+            if self.mesh is not None:
+                d = int(self.mesh.shape["data"])
+                rows = rows + (-rows) % d
+            batch = np.zeros((rows, width), np.float32)
+            # padded rows carry full-length silence (len 1.0): zero-length
+            # masks would make every encoder position padding
+            lens = np.ones((rows,), np.float32)
             for row, i in enumerate(idx):
                 batch[row, : len(arrays[i])] = arrays[i]
                 lens[row] = len(arrays[i]) / width
-            groups.append((idx, jnp.asarray(batch), jnp.asarray(lens)))
+            batch_j, lens_j = jnp.asarray(batch), jnp.asarray(lens)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batch_j = jax.device_put(
+                    batch_j, NamedSharding(self.mesh, P("data"))
+                )
+                lens_j = jax.device_put(
+                    lens_j, NamedSharding(self.mesh, P("data"))
+                )
+            groups.append((idx, batch_j, lens_j))
         return groups
 
     def _decode(self, wavs, src_lang: str, tgt_lang: str) -> List[str]:

@@ -17,7 +17,7 @@ VOCAB = 150
 
 
 @pytest.fixture(scope="module")
-def engine(tmp_path_factory):
+def parts(tmp_path_factory):
     import sys, os
 
     sys.path.insert(0, os.path.dirname(__file__))
@@ -47,11 +47,25 @@ def engine(tmp_path_factory):
         "seq_lin": seq_lin.init(rng, enc),
         "ctc_lin": ctc_lin.init(rng, enc),
     }
+    return dict(cnn=cnn, transformer=transformer, seq_lin=seq_lin,
+                ctc_lin=ctc_lin, params=params, sp=sp)
+
+
+def _build_engine(p, **kw):
+    sp = p["sp"]
+    opts = dict(beam_size=2, bucket_seconds=(0.5, 1.0), bf16=False,
+                turn_id=sp.piece_to_id("[turn]"),
+                xt_id=sp.piece_to_id("[xt]"))
+    opts.update(kw)
     return STEngine(
-        transformer, cnn, seq_lin, ctc_lin, params, cmvn_init(80), sp,
-        beam_size=2, bucket_seconds=(0.5, 1.0), bf16=False,
-        turn_id=sp.piece_to_id("[turn]"), xt_id=sp.piece_to_id("[xt]"),
+        p["transformer"], p["cnn"], p["seq_lin"], p["ctc_lin"],
+        p["params"], cmvn_init(80), sp, **opts,
     )
+
+
+@pytest.fixture(scope="module")
+def engine(parts):
+    return _build_engine(parts)
 
 
 class TestSTEngine:
@@ -232,3 +246,28 @@ class TestFromExperiment:
         wav = rng.standard_normal(4000).astype(np.float32)
         out = engine.transcribe([wav])
         assert len(out) == 1 and isinstance(out[0], str)
+
+
+class TestMeshServing:
+    def test_data_parallel_mesh_matches_single_device(self, parts, rng):
+        """Fleet serving: an engine over an 8-device data mesh returns the
+        same transcripts/translations as the single-device engine (rows are
+        sharded on the data axis, pads dropped on output)."""
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+        meshed = _build_engine(parts, mesh=mesh)
+        plain = _build_engine(parts)
+        wavs = [
+            rng.standard_normal(int(s * 16000)).astype(np.float32)
+            for s in (0.2, 0.45, 0.7, 0.3, 0.9)
+        ]
+        st_m = meshed.translate(wavs)
+        st_p = plain.translate(wavs)
+        assert st_m == st_p
+        asr_m = meshed.transcribe(wavs)
+        asr_p = plain.transcribe(wavs)
+        assert asr_m == asr_p
+        turns_m = meshed.speaker_turns(wavs)
+        turns_p = plain.speaker_turns(wavs)
+        assert turns_m == turns_p

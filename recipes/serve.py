@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-decode-tokens", type=int, default=192)
     p.add_argument("--buckets", default="2,4,8,16,32",
                    help="comma-separated bucket seconds (compile-once grid)")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="shard request batches over this many devices "
+                        "(fleet serving; 0/1 = single device, -1 = all)")
     p.add_argument("--no-bf16", action="store_true",
                    help="keep fp32 params/activations")
     p.add_argument("--avg-checkpoints", type=int, default=None,
@@ -82,6 +85,15 @@ def start_servers(args):
         ),
         bf16=not args.no_bf16,
     )
+    if args.data_parallel not in (0, 1):
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        n = len(devs) if args.data_parallel == -1 else args.data_parallel
+        kw["mesh"] = Mesh(np.asarray(devs[:n]), ("data",))
+        logger.info("fleet serving over %d devices", n)
     if args.avg_checkpoints is not None:
         kw["avg_checkpoints"] = args.avg_checkpoints
     logger.info("loading experiment %s", args.experiment_dir)

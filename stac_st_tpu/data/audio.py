@@ -55,6 +55,39 @@ def _pcm_to_float(x: np.ndarray, bits: int) -> np.ndarray:
     return (x.astype(np.float32) / float(2 ** (bits - 1))).clip(-1.0, 1.0)
 
 
+# Native bulk converters (C++ ext, GIL-released — parity-tested in
+# tests/test_native.py). These are the loader's hot bytes->float32 paths;
+# the numpy fallbacks above stay authoritative when the ext isn't built.
+def _pcm16_bytes(data: bytes, big_endian: bool = False) -> np.ndarray:
+    from ..native import get_native
+
+    native = get_native()
+    if native is not None:
+        return np.frombuffer(
+            native.pcm16_to_float(data, int(big_endian)), np.float32
+        )
+    dtype = ">i2" if big_endian else "<i2"
+    return _pcm_to_float(np.frombuffer(data, dtype), 16)
+
+
+def _ulaw_bytes(data: bytes) -> np.ndarray:
+    from ..native import get_native
+
+    native = get_native()
+    if native is not None:
+        return np.frombuffer(native.ulaw_to_float(data), np.float32)
+    return _pcm_to_float(_ulaw_decode(np.frombuffer(data, np.uint8)), 16)
+
+
+def _alaw_bytes(data: bytes) -> np.ndarray:
+    from ..native import get_native
+
+    native = get_native()
+    if native is not None:
+        return np.frombuffer(native.alaw_to_float(data), np.float32)
+    return _pcm_to_float(_alaw_decode(np.frombuffer(data, np.uint8)), 16)
+
+
 # ----------------------------------------------------------------------- WAV
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     """Returns (samples (n,) or (n, ch) float32 in [-1, 1], sample_rate)."""
@@ -87,7 +120,7 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
                 np.frombuffer(data, np.uint8).astype(np.int16) - 128, 8
             )
         elif bits == 16:
-            samples = _pcm_to_float(np.frombuffer(data, "<i2"), 16)
+            samples = _pcm16_bytes(data)
         elif bits == 24:
             raw = np.frombuffer(data, np.uint8).reshape(-1, 3)
             ints = (
@@ -105,9 +138,9 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         dtype = "<f4" if bits == 32 else "<f8"
         samples = np.frombuffer(data, dtype).astype(np.float32)
     elif audio_fmt == 7:  # µ-law
-        samples = _pcm_to_float(_ulaw_decode(np.frombuffer(data, np.uint8)), 16)
+        samples = _ulaw_bytes(data)
     elif audio_fmt == 6:  # A-law
-        samples = _pcm_to_float(_alaw_decode(np.frombuffer(data, np.uint8)), 16)
+        samples = _alaw_bytes(data)
     else:
         raise ValueError(f"{path}: unsupported WAV format {audio_fmt}")
     if channels > 1:
@@ -146,12 +179,11 @@ def read_sphere(path: str) -> Tuple[np.ndarray, int]:
             "decompression (run `sph2pipe` first, as LDC distributes it)"
         )
     if "ulaw" in coding or "mu-law" in coding:
-        samples = _pcm_to_float(_ulaw_decode(np.frombuffer(data, np.uint8)), 16)
+        samples = _ulaw_bytes(data)
     elif n_bytes == 2:
-        dtype = ">i2" if byte_fmt == "10" else "<i2"
-        samples = _pcm_to_float(np.frombuffer(data, dtype), 16)
+        samples = _pcm16_bytes(data, big_endian=(byte_fmt == "10"))
     elif n_bytes == 1:
-        samples = _pcm_to_float(_ulaw_decode(np.frombuffer(data, np.uint8)), 16)
+        samples = _ulaw_bytes(data)
     else:
         raise ValueError(f"{path}: unsupported SPHERE coding {coding}")
     if channels > 1:

@@ -92,8 +92,15 @@ def start_servers(args):
 
         devs = jax.devices()
         n = len(devs) if args.data_parallel == -1 else args.data_parallel
-        kw["mesh"] = Mesh(np.asarray(devs[:n]), ("data",))
-        logger.info("fleet serving over %d devices", n)
+        if not 1 < n <= len(devs):
+            raise SystemExit(
+                f"--data-parallel {args.data_parallel}: need a value in "
+                f"[2, {len(devs)}] (or -1 for all devices); "
+                f"{len(devs)} device(s) visible"
+            )
+        mesh_devs = devs[:n]
+        kw["mesh"] = Mesh(np.asarray(mesh_devs), ("data",))
+        logger.info("fleet serving over %d devices", len(mesh_devs))
     if args.avg_checkpoints is not None:
         kw["avg_checkpoints"] = args.avg_checkpoints
     logger.info("loading experiment %s", args.experiment_dir)

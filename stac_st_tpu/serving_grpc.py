@@ -96,7 +96,9 @@ class _Servicer:
                    if remaining is not None else self.request_timeout)
         try:
             return fut.result(timeout=timeout)
-        except TimeoutError:
+        # concurrent.futures.TimeoutError is only an alias of the builtin
+        # from Python 3.11; catch both so 3.10 maps timeouts correctly
+        except (TimeoutError, _futures.TimeoutError):
             context.abort(grpc.StatusCode.DEADLINE_EXCEEDED,
                           "decode timed out")
 

@@ -23,6 +23,7 @@ import base64
 import json
 import logging
 import threading
+from concurrent import futures as _futures
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -95,7 +96,9 @@ class _Handler(BaseHTTPRequestHandler):
             result = fut.result(timeout=self.request_timeout)
         except RuntimeError as exc:  # front end closed
             return self._reply(503, {"error": str(exc)})
-        except TimeoutError:
+        # concurrent.futures.TimeoutError is only an alias of the builtin
+        # from Python 3.11; catch both so 3.10 maps timeouts to 504 too
+        except (TimeoutError, _futures.TimeoutError):
             return self._reply(504, {"error": "decode timed out"})
         if task == "speaker_turns":
             return self._reply(200, {"events": result})

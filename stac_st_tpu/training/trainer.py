@@ -37,6 +37,7 @@ from .step import (
     StepConfig,
     TrainState,
     init_train_state,
+    make_encode_forward,
     make_eval_forward,
     make_optimizer,
     make_train_step,
@@ -162,6 +163,9 @@ class STTrainer:
             self.tx = optax.identity()
             self.train_step = None
         self.eval_forward = make_eval_forward(self.cfg)
+        # the standalone-inference path (reference inference.py:88-110):
+        # floor-mask Transformer.encode, CTC head only, no decoder pass
+        self.encode_forward = make_encode_forward(self.cfg)
 
         self.state: Optional[TrainState] = None
         self.optimizer_step_limit = int(h.get("optimizer_step_limit", 10**9))
@@ -175,9 +179,19 @@ class STTrainer:
         # typed per-key impl (jax.random.key(..., impl='rbg')) measured 3x
         # SLOWER than threefry here (158 ms/step), so keys stay raw.
         # run_opt rng_impl: rbg (default) | unsafe_rbg | threefry.
+        # NOTE: this mutates the PROCESS-GLOBAL default PRNG impl — any
+        # other JAX code in this process (and keys it creates afterwards)
+        # switches impl too. Pass run_opt rng_impl: threefry to opt out.
         rng_impl = str(self.run_opts.get("rng_impl", "rbg")).lower()
         if rng_impl != "threefry":
-            jax.config.update("jax_default_prng_impl", rng_impl)
+            prev = jax.config.jax_default_prng_impl
+            if prev != rng_impl:
+                jax.config.update("jax_default_prng_impl", rng_impl)
+                logger.info(
+                    "switched process-global jax_default_prng_impl "
+                    "%s -> %s for dropout throughput (docs/PERF.md); "
+                    "run_opt rng_impl=threefry reverts", prev, rng_impl,
+                )
         self._rng = jax.random.PRNGKey(int(h.get("seed", 8886)))
         self.train_stats: Dict[str, float] = {}
         self.debug = bool(self.run_opts.get("debug", False))

@@ -74,11 +74,31 @@ def default_cache_gather(cache, flat_parent):
     return jax.tree_util.tree_map(gather, cache)
 
 
+def _plan_segments(max_steps: int, first: Optional[int]):
+    """Geometric step-budget segments: (first, 2·first, …, max_steps).
+
+    Per-step HBM cache reads scale with the ALLOCATED budget, so decoding
+    in growing segments makes the total cache read traffic ~triangular
+    instead of rectangular — and trained models whose hyps early-exit
+    inside the first segment never touch the larger allocations at all.
+    Exact: later segments CONTINUE the same search state (unlike tiered
+    decoding's rerun, no cross-budget certificate is needed)."""
+    if not first or first >= max_steps:
+        return (max_steps,)
+    bounds, b = [], int(first)
+    while b < max_steps:
+        bounds.append(b)
+        b *= 2
+    bounds.append(max_steps)
+    return tuple(bounds)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "decode_step_fn", "init_cache_fn", "cache_gather_fn", "max_steps",
         "config", "lm_step_fn", "lm_init_fn", "settled_bound_len",
+        "grow_cache_fn", "cache_growth",
     ),
 )
 def beam_search(
@@ -96,6 +116,8 @@ def beam_search(
     lm_step_fn: Optional[Callable] = None,
     lm_init_fn: Optional[Callable] = None,
     settled_bound_len: Optional[int] = None,
+    grow_cache_fn: Optional[Callable] = None,
+    cache_growth: Optional[int] = None,
 ):
     """Run beam search.
 
@@ -143,8 +165,13 @@ def beam_search(
     # utterance (B rows) and the decoder groups beams as query length;
     # only the self-attention caches live at B·beam rows.
     prompt_len = prompt.shape[0]
+    # segmented cache growth: allocate the first (smallest) budget now;
+    # later segments grow the cache and CONTINUE the same search (exact)
+    segments = _plan_segments(
+        max_steps, cache_growth if grow_cache_fn is not None else None
+    )
     cache = init_cache_fn(
-        params, enc_out, prompt_len + max_steps, enc_bias, beam
+        params, enc_out, prompt_len + segments[0], enc_bias, beam
     )
 
     # --- warmup: feed the prompt through the cache ---
@@ -360,20 +387,24 @@ def beam_search(
             bound = bound / norm_len
         return bound > jnp.max(fin_scores, axis=1)
 
-    def cond(carry):
-        """Early exit: stop once no alive beam can still beat its batch's
-        best finished hypothesis. Alive raw scores only decrease; without
-        length normalization the bound is the current max, with it the
-        least-negative reachable value raw/norm_len (norm_len = max_steps,
-        or settled_bound_len when certifying a larger budget). Exact —
-        results match the full-budget loop (tests/test_beam_search.py).
-        (With joint CTC blending the per-step increments stay ≤ 0 — both
-        att log-probs and CTC prefix-score deltas are non-positive — so
-        the bound holds.)"""
-        t = carry[0]
-        alive_scores, fin_scores = carry[2], carry[4]
-        unsettled = _unsettled(alive_scores, fin_scores)
-        return jnp.logical_and(t < max_steps, jnp.any(unsettled))
+    def make_cond(bound: int):
+        def cond(carry):
+            """Early exit: stop once no alive beam can still beat its
+            batch's best finished hypothesis. Alive raw scores only
+            decrease; without length normalization the bound is the
+            current max, with it the least-negative reachable value
+            raw/norm_len (norm_len = max_steps, or settled_bound_len when
+            certifying a larger budget). Exact — results match the
+            full-budget loop (tests/test_beam_search.py). (With joint CTC
+            blending the per-step increments stay ≤ 0 — both att
+            log-probs and CTC prefix-score deltas are non-positive — so
+            the bound holds.)"""
+            t = carry[0]
+            alive_scores, fin_scores = carry[2], carry[4]
+            unsettled = _unsettled(alive_scores, fin_scores)
+            return jnp.logical_and(t < bound, jnp.any(unsettled))
+
+        return cond
 
     def body(carry):
         return step(carry[1:], carry[0])
@@ -381,7 +412,17 @@ def beam_search(
     carry = (jnp.asarray(0, jnp.int32), alive_tokens, alive_scores,
              fin_tokens, fin_scores, fin_lengths, ctc_state, cache, logits,
              lm_state, lm_logp)
-    carry = jax.lax.while_loop(cond, body, carry)
+    # one while_loop per segment; growing the cache between segments.
+    # A segment whose work is already done (t == bound, or every row
+    # settled) executes zero iterations — trained models that finish in
+    # the first segment never pay for the larger allocations.
+    for si, bound in enumerate(segments):
+        carry = jax.lax.while_loop(make_cond(bound), body, carry)
+        if si + 1 < len(segments):
+            grown = grow_cache_fn(
+                carry[7], prompt_len + segments[si + 1]
+            )
+            carry = carry[:7] + (grown,) + carry[8:]
     (t_final, alive_tokens, alive_scores, fin_tokens, fin_scores,
      fin_lengths, *_rest) = carry
 
@@ -451,6 +492,7 @@ class MultiTaskBeamSearch:
         target_lang: int = -100,
         mask_encoder_padding: bool = False,
         max_decode_tokens: Optional[int] = None,
+        cache_growth: Optional[int] = 64,
         **unused,
     ):
         self.model_def = modules[0]
@@ -496,6 +538,13 @@ class MultiTaskBeamSearch:
         # than the budget-local exit, so the tier pass runs past the point
         # the plain capped search would already have stopped (docs/PERF.md).
         self.decode_tier: Optional[int] = None
+        # segmented cache growth: decode in geometric step-budget segments
+        # (cache_growth, 2x, ... max_steps), growing the KV cache between
+        # segments. Exact (a continuation, not a rerun) — per-step cache
+        # reads scale with the allocated budget, so total read traffic is
+        # ~triangular, and early-exiting (trained) models never touch the
+        # large allocations. None disables (single full-budget segment).
+        self.cache_growth = int(cache_growth) if cache_growth else None
         self.bos_token = int(bos_index)
         self.source_lang = int(source_lang)
         self.target_lang = int(target_lang)
@@ -561,12 +610,26 @@ class MultiTaskBeamSearch:
         # (toggle stac_st_tpu.ops.pallas BEFORE constructing/binding).
         from ..ops import pallas as pallas_mod
 
-        anc_mode = pallas_mod.is_enabled()
+        anc_enabled = pallas_mod.is_enabled()
+
+        def _anc_fits(beam: int, max_len: int) -> bool:
+            # step_anc keeps one utterance's (beam, H, S, Dh) K and V
+            # blocks VMEM-resident (~16 MiB/core on TPU); refuse shapes
+            # that cannot compile and fall back to gather-mode decode,
+            # matching the other kernels' fallback contract (ADVICE r2).
+            h = int(model_def.nhead)
+            dh = int(model_def.d_model) // h
+            per_utt_bytes = 2 * beam * h * max_len * dh * 4  # fp32 worst
+            return per_utt_bytes <= 8 * 1024 * 1024
 
         def init_cache_fn(params, enc_out, max_len, enc_bias=None, beam=1):
+            anc_mode = (
+                anc_enabled and beam > 1
+                and _anc_fits(int(beam), int(max_len))
+            )
             return model_def.apply(
                 params["t"], enc_out, max_len, enc_bias, beam,
-                anc_mode and beam > 1,
+                anc_mode,
                 method=model_def.init_decode_cache,
             )
 
@@ -594,6 +657,15 @@ class MultiTaskBeamSearch:
         self._decode_step_fn = decode_step_fn
         self._init_cache_fn = init_cache_fn
         self._cache_gather_fn = cache_gather_fn
+        # segmented cache growth rides the model's own layout knowledge.
+        # Disabled under Pallas anc mode: the VMEM-budget guard decides
+        # anc on the allocation init_cache sees, and the anc kernel keeps
+        # the full allocated block VMEM-resident — growth would invalidate
+        # both. (Anc mode avoids the gather copy anyway.)
+        self._grow_cache_fn = (
+            None if anc_enabled
+            else getattr(model_def, "grow_decode_cache", None)
+        )
 
     # ---- call surface ---------------------------------------------------
     def __call__(self, enc_out, wav_lens=None, ctc_log_probs=None):
@@ -632,6 +704,8 @@ class MultiTaskBeamSearch:
                 enc_bias, ctc_log_probs, ctc_lens,
                 lm_step_fn=self._lm_step_fn, lm_init_fn=self._lm_init_fn,
                 settled_bound_len=bound_len,
+                grow_cache_fn=self._grow_cache_fn,
+                cache_growth=self.cache_growth,
             )
 
         tier = self.decode_tier if self.max_decode_tokens is not None else None

@@ -244,6 +244,45 @@ class TransformerMultiTask(nn.Module):
             )
         return cache
 
+    @staticmethod
+    def grow_decode_cache(cache, new_max_len: int):
+        """Re-allocate the decode cache at a larger step budget.
+
+        Pads every self-attention K/V buffer (and the ancestor table in
+        anc mode) with zeros along the step axis, preserving contents and
+        the write index — the basis for segmented cache growth in the
+        searcher: per-step HBM cache reads scale with the ALLOCATED
+        length, so decoding in growing segments makes total read traffic
+        ~triangular instead of rectangular (docs/PERF.md round 3)."""
+        anc_mode = cache.get("anc") is not None
+        layers = []
+        for layer in cache["layers"]:
+            sc = layer["self"]
+            k, v = sc["k"], sc["v"]
+            if anc_mode:  # K stored like V: (BB, H, S, Dh)
+                k = jnp.pad(
+                    k, ((0, 0), (0, 0), (0, new_max_len - k.shape[2]),
+                        (0, 0))
+                )
+            else:  # decode layout Kᵀ: (BB, H, Dh, S)
+                k = jnp.pad(
+                    k, ((0, 0), (0, 0), (0, 0),
+                        (0, new_max_len - k.shape[3]))
+                )
+            v = jnp.pad(
+                v, ((0, 0), (0, 0), (0, new_max_len - v.shape[2]), (0, 0))
+            )
+            layers.append(
+                {**layer, "self": {"k": k, "v": v, "index": sc["index"]}}
+            )
+        out = {**cache, "layers": layers}
+        if anc_mode:
+            anc = cache["anc"]
+            out["anc"] = jnp.pad(
+                anc, ((0, 0), (0, 0), (0, new_max_len - anc.shape[2]))
+            )
+        return out
+
     def decode_step(self, tokens, positions, cache):
         """One decode step.
 

@@ -327,3 +327,46 @@ class TestTieredDecoding:
         h, sc = s(enc)
         assert h == base_h
         np.testing.assert_array_equal(sc, base_sc)
+
+
+class TestSegmentedCacheGrowth:
+    """Segmented cache growth is exact: later segments CONTINUE the same
+    search on a grown allocation, so hyps/scores match the single-segment
+    run bit for bit (docs/PERF.md round 3)."""
+
+    @pytest.mark.parametrize("growth", [4, 8, 16])
+    def test_growth_matches_single_segment(self, setup, growth):
+        enc = _random_enc(setup, 3, 48)  # max_steps = 48 -> >= 2 segments
+        base = setup["make_searcher"](beam_size=4, cache_growth=None)
+        seg = setup["make_searcher"](beam_size=4, cache_growth=growth)
+        for s in (base, seg):
+            s.set_decoder_prefix_tokens(5, 6)
+        h0, s0 = base(enc)
+        h1, s1 = seg(enc)
+        assert h0 == h1
+        np.testing.assert_allclose(s0, s1, rtol=1e-6)
+
+    def test_growth_with_test_search_options(self, setup):
+        enc = _random_enc(setup, 2, 40)
+        kw = dict(beam_size=3, using_eos_threshold=True,
+                  length_normalization=True, temperature=1.15)
+        base = setup["make_searcher"](cache_growth=None, **kw)
+        seg = setup["make_searcher"](cache_growth=8, **kw)
+        for s in (base, seg):
+            s.set_decoder_prefix_tokens(4, 9)
+        h0, s0 = base(enc)
+        h1, s1 = seg(enc)
+        assert h0 == h1
+        np.testing.assert_allclose(s0, s1, rtol=1e-6)
+
+    def test_growth_with_serving_cap(self, setup):
+        enc = _random_enc(setup, 2, 64)
+        base = setup["make_searcher"](beam_size=3, cache_growth=None,
+                                      max_decode_tokens=24)
+        seg = setup["make_searcher"](beam_size=3, cache_growth=8,
+                                     max_decode_tokens=24)
+        for s in (base, seg):
+            s.set_decoder_prefix_tokens(7, 8)
+        h0, _ = base(enc)
+        h1, _ = seg(enc)
+        assert h0 == h1

@@ -70,7 +70,10 @@ def run_split(trainer, hparams, json_path: str) -> None:
             trainer.on_evaluate_start()
             trainer._bind_searcher(searcher)
             bound = True
-        p_ctc, _p_seq, enc_out = trainer.eval_forward(
+        # the reference's standalone inference uses the FLOOR-mask encode
+        # path with no decoder pass (inference.py:88-110), unlike the
+        # valid/test loop inside train_multitask.py (round-mask forward)
+        p_ctc, enc_out = trainer.encode_forward(
             trainer.state.params, trainer.state.cmvn, dev
         )
         n = len(batch.id)

@@ -291,6 +291,40 @@ def make_eval_forward(cfg: StepConfig):
     return eval_forward
 
 
+def make_encode_forward(cfg: StepConfig):
+    """Jitted inference-recipe forward: (params, cmvn, batch) ->
+    (p_ctc, enc_out).
+
+    Mirrors the reference's standalone ``inference.py:88-110`` exactly:
+    fbank -> CMVN -> CNN -> ``Transformer.encode`` (the FLOOR-based
+    padding mask, unlike the train forward's round-based one) -> CTC
+    head log-softmax. No decoder pass — the searcher decodes from
+    ``enc_out`` — so this is also cheaper than the train forward.
+    """
+
+    @jax.jit
+    def encode_forward(params, cmvn_state, batch):
+        feats = cfg.fbank(batch["sig"])
+        feats = cmvn_apply(cmvn_state, feats)
+        if cfg.compute_dtype is not None:
+            feats = feats.astype(cfg.compute_dtype)
+            params = _cast_floats(params, cfg.compute_dtype)
+        src = cfg.cnn.apply(params["CNN"], feats, deterministic=True)
+        enc_out = cfg.transformer.apply(
+            params["Transformer"], src, batch["sig_len"],
+            method="encode",
+        )
+        p_ctc = None
+        if cfg.ctc_weight > 0:
+            logits_ctc = cfg.ctc_lin.apply(params["ctc_lin"], enc_out)
+            p_ctc = jax.nn.log_softmax(
+                logits_ctc.astype(jnp.float32), axis=-1
+            )
+        return p_ctc, enc_out
+
+    return encode_forward
+
+
 def init_train_state(
     cfg: StepConfig, tx: optax.GradientTransformation, rng,
     sample_batch: Dict[str, Any], n_mels: int = 80,

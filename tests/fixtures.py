@@ -14,14 +14,18 @@ WORDS_EN = ["hello", "how", "are", "you", "good", "morning", "thanks",
 
 
 def make_corpus(root, n_utts=16, seconds=0.6, sample_rate=16000, seed=0,
-                multi_turn_every=0):
+                multi_turn_every=0, seconds_jitter=0.0):
     """Builds wavs + data-asr.json/data-st.json (+ joint manifest for the
-    tokenizer). Returns (asr_json, st_json, joint_json)."""
+    tokenizer). Returns (asr_json, st_json, joint_json).
+
+    ``seconds_jitter`` > 0 varies utterance durations deterministically so
+    padded batches exercise the length-mask paths."""
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "wav"), exist_ok=True)
     asr, st, joint = {}, {}, {}
     for i in range(n_utts):
-        n = int(seconds * sample_rate)
+        utt_seconds = seconds + seconds_jitter * (i % 4) / 4.0
+        n = int(utt_seconds * sample_rate)
         t = np.arange(n) / sample_rate
         freq = 200 + 50 * (i % 8)
         wav = (0.3 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
@@ -38,7 +42,7 @@ def make_corpus(root, n_utts=16, seconds=0.6, sample_rate=16000, seed=0,
             en = en + " [turn] " + en
         base = {
             "wav": "{data_root}/wav/" + f"utt{i:03d}.wav",
-            "duration": seconds,
+            "duration": utt_seconds,
             "source_lang": "es",
             "target_lang": "en",
         }

@@ -1,0 +1,236 @@
+#!/usr/bin/env python3
+"""Serving-under-load benchmark: sustained RTFx through the HTTP path.
+
+VERDICT r2 item 4: the raw ``STEngine`` RTFx was known, but nothing
+measured the production ingress — concurrent clients → HTTP →
+coalescing ``StreamingFrontEnd`` → bucketed TPU calls. This driver:
+
+1. builds the flagship small preset (d256, 12+6L, vocab 5000), briefly
+   trains it ON CHIP on a synthetic supervised task (as ``bench.py``
+   phase 2) so eos/early-exit bind and hyp lengths are realistic;
+2. wraps it in ``StreamingFrontEnd`` + ``STHttpServer``;
+3. runs N concurrent HTTP clients posting base64 waveforms of mixed
+   durations for a fixed wall-clock window;
+4. reports sustained RTFx, the formed batch-size histogram, and
+   p50/p95/p99 request latency as ONE JSON line.
+
+Env knobs: STAC_SERVE_CLIENTS (default 16), STAC_SERVE_SECONDS (default
+45 s of load), STAC_SERVE_NOTRAIN=1 (skip the training phase),
+STAC_SERVE_MAXBATCH (default 16).
+"""
+
+import base64
+import http.client
+import json
+import os
+import threading
+import time
+
+import numpy as np
+
+SR = 16000
+DURATIONS = (3.0, 5.0, 8.0, 10.0)  # mixed load; engine buckets pad these
+
+
+class _IdTokenizer:
+    """Throughput-bench tokenizer: ids -> space-joined strings."""
+
+    def decode_ids(self, ids):
+        return " ".join(str(i) for i in ids)
+
+    def piece_to_id(self, piece):
+        return {"[turn]": 7, "[xt]": 8}.get(piece, 3)
+
+    def encode_as_ids(self, text):
+        return [3]
+
+
+def _build_trained_engine():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from stac_st_tpu.models import (
+        ConvolutionFrontEnd,
+        LinearHead,
+        TransformerMultiTask,
+    )
+    from stac_st_tpu.ops import Fbank
+    from stac_st_tpu.ops.cmvn import cmvn_init
+    from stac_st_tpu.ops.losses import nll_loss
+    from stac_st_tpu.serving import STEngine
+
+    D, H, ENC_L, DEC_L, FFN, VOCAB = 256, 4, 12, 6, 1024, 5000
+    B, SECONDS = 16, 10.0
+
+    cnn = ConvolutionFrontEnd(out_channels=(256, 256))
+    transformer = TransformerMultiTask(
+        tgt_vocab=VOCAB, input_size=5120, d_model=D, nhead=H,
+        num_encoder_layers=ENC_L, num_decoder_layers=DEC_L, d_ffn=FFN,
+        dropout=0.1, normalize_before=True, causal=False,
+    )
+    seq_lin = LinearHead(input_size=D, n_neurons=VOCAB)
+    ctc_lin = LinearHead(input_size=D, n_neurons=VOCAB)
+    fbank = Fbank()
+
+    rng = np.random.default_rng(0)
+    wavs = jnp.asarray(
+        rng.standard_normal((B, int(SECONDS * SR))).astype(np.float32))
+    wav_lens = jnp.ones((B,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    feats = fbank(wavs)
+    cnn_p = cnn.init(key, feats)
+    src = cnn.apply(cnn_p, feats)
+    tr_p = transformer.init(key, src, jnp.ones((B, 8), jnp.int32), wav_lens)
+    enc = transformer.apply(
+        tr_p, src[:1], wav_lens[:1], method=transformer.encode)
+    seq_p = seq_lin.init(key, enc)
+    ctc_p = ctc_lin.init(key, enc)
+
+    if os.environ.get("STAC_SERVE_NOTRAIN") != "1":
+        # brief on-chip training so eos fires (bench.py phase-2 recipe)
+        U = 14
+        tgt = jnp.asarray(rng.integers(5, VOCAB, (B, U)), jnp.int32)
+        prompt = jnp.asarray([[1, 3, 4]] * B, jnp.int32)
+        tokens_bos = jnp.concatenate([prompt, tgt], axis=1)
+        tokens_eos = jnp.concatenate(
+            [prompt[:, 1:], tgt, jnp.full((B, 1), 2, jnp.int32)], axis=1)
+        params = {"cnn": cnn_p, "tr": tr_p, "seq": seq_p}
+        tx = optax.adamw(3e-4)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def train_step(params, opt_state):
+            def loss_fn(p):
+                f = fbank(wavs)
+                s = cnn.apply(p["cnn"], f)
+                _e, dec = transformer.apply(p["tr"], s, tokens_bos, wav_lens)
+                logp = jax.nn.log_softmax(
+                    seq_lin.apply(p["seq"], dec), axis=-1)
+                return nll_loss(logp, tokens_eos,
+                                jnp.ones((B,), jnp.float32),
+                                label_smoothing=0.0)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        loss = None
+        for _ in range(150):
+            params, opt_state, loss = train_step(params, opt_state)
+        print(f"# trained 150 steps, loss={float(loss):.3f}", flush=True)
+        cnn_p, tr_p, seq_p = params["cnn"], params["tr"], params["seq"]
+
+    eng_params = {"CNN": cnn_p, "Transformer": tr_p, "seq_lin": seq_p,
+                  "ctc_lin": ctc_p}
+    return STEngine(
+        transformer, cnn, seq_lin, ctc_lin, eng_params, cmvn_init(80),
+        _IdTokenizer(), beam_size=10, max_decode_tokens=192, bf16=True,
+        bucket_seconds=DURATIONS,
+    )
+
+
+def main():
+    from stac_st_tpu.serving_http import STHttpServer
+    from stac_st_tpu.serving_stream import StreamingFrontEnd
+
+    n_clients = int(os.environ.get("STAC_SERVE_CLIENTS", "16"))
+    load_seconds = float(os.environ.get("STAC_SERVE_SECONDS", "45"))
+    max_batch = int(os.environ.get("STAC_SERVE_MAXBATCH", "16"))
+
+    engine = _build_trained_engine()
+    rng = np.random.default_rng(1)
+    payloads = {}
+    for d in DURATIONS:
+        wav = rng.standard_normal(int(d * SR)).astype(np.float32) * 0.1
+        payloads[d] = json.dumps({
+            "audio_b64": base64.b64encode(wav.tobytes()).decode(),
+            "source_lang": "es", "target_lang": "en",
+        })
+
+    front = StreamingFrontEnd(engine, max_batch=max_batch, max_wait_ms=20)
+    server = STHttpServer(front, host="127.0.0.1", port=0).start()
+    port = server.port
+
+    # ---- warmup: compile every bucket before the timed window ------------
+    for d in DURATIONS:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/v1/translate", payloads[d],
+                     {"Content-Type": "application/json"})
+        assert conn.getresponse().read()
+        conn.close()
+    print("# warmup done", flush=True)
+    hist0 = front.batch_histogram()
+
+    stop = threading.Event()
+    lock = threading.Lock()
+    latencies, done_audio = [], [0.0]
+    errors = [0]
+
+    def client(i):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        k = i
+        while not stop.is_set():
+            d = DURATIONS[k % len(DURATIONS)]
+            k += 1
+            t0 = time.perf_counter()
+            try:
+                conn.request("POST", "/v1/translate", payloads[d],
+                             {"Content-Type": "application/json"})
+                resp = conn.getresponse()
+                body = resp.read()
+                ok = resp.status == 200 and b"text" in body
+            except Exception:
+                ok = False
+                conn.close()
+                conn = http.client.HTTPConnection(
+                    "127.0.0.1", port, timeout=600)
+            dt = time.perf_counter() - t0
+            with lock:
+                if ok:
+                    latencies.append(dt)
+                    done_audio[0] += d
+                else:
+                    errors[0] += 1
+        conn.close()
+
+    threads = [threading.Thread(target=client, args=(i,), daemon=True)
+               for i in range(n_clients)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    time.sleep(load_seconds)
+    stop.set()
+    for t in threads:
+        t.join(timeout=600)
+    elapsed = time.perf_counter() - t_start
+
+    hist1 = front.batch_histogram()
+    hist = {k: hist1.get(k, 0) - hist0.get(k, 0)
+            for k in sorted(set(hist0) | set(hist1))}
+    hist = {k: v for k, v in hist.items() if v > 0}
+    server.close()
+    front.close()
+
+    lat = np.asarray(sorted(latencies))
+    out = {
+        "metric": "served_rtfx_http",
+        "value": round(done_audio[0] / elapsed, 2),
+        "unit": "x_realtime_per_chip_served",
+        "clients": n_clients,
+        "requests_ok": len(latencies),
+        "errors": errors[0],
+        "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 1)
+        if len(lat) else None,
+        "latency_p95_ms": round(float(np.percentile(lat, 95)) * 1000, 1)
+        if len(lat) else None,
+        "latency_p99_ms": round(float(np.percentile(lat, 99)) * 1000, 1)
+        if len(lat) else None,
+        "batch_histogram": {str(k): v for k, v in hist.items()},
+        "load_seconds": round(elapsed, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

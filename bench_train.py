@@ -2,9 +2,21 @@
 """Secondary benchmark: training throughput (audio-seconds/sec per chip).
 
 (The driver's headline metric is `bench.py`'s inference RTFx; this script
-measures the compiled train step on the flagship small preset for tuning.)
-Reference envelope for context: max_batch_len 450–500 s audio per GPU batch
-on V100-32GB (BASELINE.md).
+measures the compiled train step on the reference scale grid for tuning.)
+Reference envelope: max_batch_len 450-500 s audio per GPU batch on
+V100-32GB (BASELINE.md; /root/reference/stac-st/hparams/
+transformer_multitask.yaml:102-106). The default batch here matches that
+budget: B=32 x 15 s = 480 audio-s per chip. MFU is reported from XLA's
+own per-executable flop count against the chip's bf16 peak.
+
+Env knobs:
+  STAC_TRAIN_PRESET=small|medium|large   model scale (default small)
+  STAC_TRAIN_SWEEP=1                     sweep batch sizes, print a table
+  STAC_TRAIN_BATCH=N                     override batch rows (15 s each)
+  STAC_TRAIN_FP32=1                      disable bf16 compute
+  STAC_TRAIN_THREEFRY=1                  disable hardware-RNG dropout
+  STAC_TPU_PEAK_TFLOPS=X                 bf16 peak for MFU (default 197,
+                                         TPU v5e)
 """
 
 import json
@@ -13,12 +25,21 @@ import time
 
 import numpy as np
 
+SR = 16000
+SECONDS = 15.0
+U = 128
+VOCAB = 5000
 
-def main():
+# reference scale grid (ablations/run_m_and_l_size.sh:72-99)
+PRESETS = {
+    "small": dict(d=256, h=4, enc=12, dec=6),
+    "medium": dict(d=512, h=8, enc=16, dec=6),
+    "large": dict(d=1024, h=16, enc=14, dec=6),
+}
+
+
+def _build(preset, batch_rows):
     import jax
-    if os.environ.get("STAC_TRAIN_THREEFRY") != "1":
-        # TPU hardware RngBitGenerator for dropout bits (docs/PERF.md)
-        jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from stac_st_tpu.models import (
@@ -35,30 +56,18 @@ def main():
         make_optimizer,
     )
 
-    BATCH, SECONDS, SR, U = 16, 15.0, 16000, 128
-    VOCAB = 5000
-
-    # reference scale grid (ablations/run_m_and_l_size.sh:72-99)
-    PRESETS = {
-        "small": dict(d=256, h=4, enc=12, dec=6),
-        "medium": dict(d=512, h=8, enc=16, dec=6),
-        "large": dict(d=1024, h=16, enc=14, dec=6),
-    }
-    preset = PRESETS[os.environ.get("STAC_TRAIN_PRESET", "small")]
-    D_M, NH, ENC_L, DEC_L = (preset["d"], preset["h"], preset["enc"],
-                             preset["dec"])
-
+    p = PRESETS[preset]
     cfg = StepConfig(
         fbank=Fbank(),
         cnn=ConvolutionFrontEnd(),
         transformer=TransformerMultiTask(
-            tgt_vocab=VOCAB, input_size=5120, d_model=D_M, nhead=NH,
-            num_encoder_layers=ENC_L, num_decoder_layers=DEC_L,
-            d_ffn=4 * D_M,
+            tgt_vocab=VOCAB, input_size=5120, d_model=p["d"], nhead=p["h"],
+            num_encoder_layers=p["enc"], num_decoder_layers=p["dec"],
+            d_ffn=4 * p["d"],
             dropout=0.1, normalize_before=True,
         ),
-        seq_lin=LinearHead(input_size=D_M, n_neurons=VOCAB),
-        ctc_lin=LinearHead(input_size=D_M, n_neurons=VOCAB),
+        seq_lin=LinearHead(input_size=p["d"], n_neurons=VOCAB),
+        ctc_lin=LinearHead(input_size=p["d"], n_neurons=VOCAB),
         specaug_opts=None,
         ctc_weight=0.3,
         label_smoothing=0.1,
@@ -69,7 +78,7 @@ def main():
         # STAC_TRAIN_FP32=1 reverts to full fp32 for comparison runs
         compute_dtype=(
             None if os.environ.get("STAC_TRAIN_FP32") == "1"
-            else __import__("jax.numpy", fromlist=["bfloat16"]).bfloat16
+            else jnp.bfloat16
         ),
     )
     tx = make_optimizer(
@@ -82,29 +91,37 @@ def main():
     rng = np.random.default_rng(0)
     batch = {
         "sig": jnp.asarray(
-            rng.standard_normal((BATCH, int(SECONDS * SR))).astype(np.float32)
+            rng.standard_normal(
+                (batch_rows, int(SECONDS * SR))).astype(np.float32)
         ),
-        "sig_len": jnp.ones((BATCH,), jnp.float32),
-        "tokens": jnp.asarray(rng.integers(3, VOCAB, (BATCH, U)), jnp.int32),
-        "tokens_len": jnp.full((BATCH,), 0.9, jnp.float32),
+        "sig_len": jnp.ones((batch_rows,), jnp.float32),
+        "tokens": jnp.asarray(
+            rng.integers(3, VOCAB, (batch_rows, U)), jnp.int32),
+        "tokens_len": jnp.full((batch_rows,), 0.9, jnp.float32),
         "tokens_bos": jnp.asarray(
-            rng.integers(3, VOCAB, (BATCH, U)), jnp.int32
+            rng.integers(3, VOCAB, (batch_rows, U)), jnp.int32
         ),
         "tokens_eos": jnp.asarray(
-            rng.integers(3, VOCAB, (BATCH, U)), jnp.int32
+            rng.integers(3, VOCAB, (batch_rows, U)), jnp.int32
         ),
-        "tokens_eos_len": jnp.full((BATCH,), 0.9, jnp.float32),
+        "tokens_eos_len": jnp.full((batch_rows,), 0.9, jnp.float32),
     }
     state = init_train_state(cfg, tx, jax.random.PRNGKey(0), batch)
+    return cfg, tx, batch, state
 
-    # N steps inside ONE jit call: the axon tunnel charges ~1 s dispatch per
-    # call, which would swamp the ~100 ms step; a scan amortizes it the same
-    # way a real input pipeline keeps the device busy.
+
+def _measure(preset, batch_rows, n_steps=10):
+    """Returns (step_ms, audio_s_per_s, mfu_pct, flops_per_step)."""
+    import jax
     import optax
+
     from stac_st_tpu.training.step import _forward, _objectives
 
-    N = 10
+    cfg, tx, batch, state = _build(preset, batch_rows)
 
+    # N steps inside ONE jit call: the axon tunnel charges ~1 s dispatch
+    # per call, which would swamp the step; a scan amortizes it the same
+    # way a real input pipeline keeps the device busy.
     @jax.jit
     def multi_step(state, batch, key):
         def body(state, k):
@@ -126,24 +143,74 @@ def main():
                 params=params, opt_state=opt_state, cmvn=new_cmvn
             ), loss
 
-        keys = jax.random.split(key, N)
+        keys = jax.random.split(key, n_steps)
         state, losses = jax.lax.scan(body, state, keys)
         return state, losses
 
-    state, losses = multi_step(state, batch, jax.random.PRNGKey(1))
-    float(losses[-1])  # compile + force
+    # ONE AOT compile, reused for the run; XLA's own flop count for MFU
+    compiled = multi_step.lower(
+        state, batch, jax.random.PRNGKey(1)).compile()
+    flops_per_step = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca and ca.get("flops"):
+            flops_per_step = float(ca["flops"]) / n_steps
+    except Exception:
+        pass
+
+    state, losses = compiled(state, batch, jax.random.PRNGKey(1))
+    float(losses[-1])  # force
     t0 = time.perf_counter()
-    state, losses = multi_step(state, batch, jax.random.PRNGKey(2))
+    state, losses = compiled(state, batch, jax.random.PRNGKey(2))
     float(losses[-1])
-    dt = (time.perf_counter() - t0) / N
-    audio_per_step = BATCH * SECONDS
+    dt = (time.perf_counter() - t0) / n_steps
+
+    peak = float(os.environ.get("STAC_TPU_PEAK_TFLOPS", "197")) * 1e12
+    mfu = (flops_per_step / dt / peak * 100.0) if flops_per_step else None
+    return (dt * 1000.0, batch_rows * SECONDS / dt, mfu, flops_per_step)
+
+
+def main():
+    import jax
+    if os.environ.get("STAC_TRAIN_THREEFRY") != "1":
+        # TPU hardware RngBitGenerator for dropout bits (docs/PERF.md)
+        jax.config.update("jax_default_prng_impl", "rbg")
+
+    preset = os.environ.get("STAC_TRAIN_PRESET", "small")
+
+    if os.environ.get("STAC_TRAIN_SWEEP") == "1":
+        rows = []
+        for b in (16, 24, 32, 40, 48, 64):
+            try:
+                ms, aps, mfu, fl = _measure(preset, b)
+            except Exception as exc:  # OOM etc: record and stop the sweep
+                rows.append({"batch": b, "error": str(exc)[:200]})
+                break
+            rows.append({
+                "batch": b, "audio_s": b * SECONDS,
+                "step_ms": round(ms, 1),
+                "audio_s_per_s": round(aps, 1),
+                "mfu_pct": round(mfu, 1) if mfu else None,
+            })
+            print(json.dumps(rows[-1]))
+        print(json.dumps({"metric": "train_sweep", "preset": preset,
+                          "rows": rows}))
+        return
+
+    batch_rows = int(os.environ.get("STAC_TRAIN_BATCH", "32"))
+    ms, aps, mfu, fl = _measure(preset, batch_rows)
     print(json.dumps({
         "metric": "train_audio_seconds_per_sec",
-        "value": round(audio_per_step / dt, 1),
+        "value": round(aps, 1),
         "unit": "audio_s_per_s_per_chip",
-        "step_ms": round(dt * 1000, 1),
-        "precision": "fp32" if cfg.compute_dtype is None else "bf16",
-        "preset": os.environ.get("STAC_TRAIN_PRESET", "small"),
+        "step_ms": round(ms, 1),
+        "batch_audio_s": batch_rows * SECONDS,
+        "mfu_pct": round(mfu, 1) if mfu else None,
+        "precision": ("fp32" if os.environ.get("STAC_TRAIN_FP32") == "1"
+                      else "bf16"),
+        "preset": preset,
     }))
 
 

@@ -74,6 +74,7 @@ class StreamingFrontEnd:
         self._lock = threading.Lock()
         self._stats = {"requests": 0, "batches": 0, "engine_calls": 0,
                        "max_batch_seen": 0}
+        self._batch_hist: Dict[int, int] = {}
         if autostart:
             self.start()
 
@@ -127,6 +128,11 @@ class StreamingFrontEnd:
         with self._lock:
             return dict(self._stats)
 
+    def batch_histogram(self) -> Dict[int, int]:
+        """{formed batch size: count} — how traffic actually coalesced."""
+        with self._lock:
+            return dict(self._batch_hist)
+
     # ---------------------------------------------------------------- worker
     def _collect(self) -> List[_Request]:
         """Block for the first request, then drain for up to max_wait."""
@@ -162,6 +168,9 @@ class StreamingFrontEnd:
             self._stats["batches"] += 1
             self._stats["max_batch_seen"] = max(
                 self._stats["max_batch_seen"], len(batch)
+            )
+            self._batch_hist[len(batch)] = (
+                self._batch_hist.get(len(batch), 0) + 1
             )
         groups: Dict[tuple, List[_Request]] = {}
         for req in batch:

@@ -109,12 +109,14 @@ def main():
     seq_params = to_bf16(seq_params)
     cnn_params = to_bf16(cnn_params)
 
+    growth = os.environ.get("STAC_CACHE_GROWTH")
     searcher = MultiTaskBeamSearch(
         [transformer, seq_lin, None],
         bos_index=1, eos_index=2, blank_index=0,
         min_decode_ratio=0.0, max_decode_ratio=1.0, beam_size=BEAM,
         using_eos_threshold=True, length_normalization=True,
         temperature=1.15,
+        **({"cache_growth": int(growth)} if growth else {}),
     )
     searcher.bind(tr_params, seq_params)
     searcher.set_decoder_prefix_tokens(3, 4)

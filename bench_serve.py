@@ -29,7 +29,12 @@ import time
 import numpy as np
 
 SR = 16000
-DURATIONS = (3.0, 5.0, 8.0, 10.0)  # mixed load; engine buckets pad these
+# mixed load; engine buckets pad these. Each bucket costs one fused
+# compile through the (slow) axon tunnel, so the default keeps two.
+DURATIONS = tuple(
+    float(s) for s in os.environ.get(
+        "STAC_SERVE_DURATIONS", "10").split(",")
+)
 
 
 class _IdTokenizer:
@@ -115,19 +120,35 @@ def _build_trained_engine():
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
+        import time as _t
+        t0 = _t.time()
         loss = None
-        for _ in range(150):
+        n_train = int(os.environ.get("STAC_SERVE_TRAIN_STEPS", "200"))
+        for i in range(n_train):
             params, opt_state, loss = train_step(params, opt_state)
-        print(f"# trained 150 steps, loss={float(loss):.3f}", flush=True)
+            if i % 50 == 0:
+                print(f"# train step {i} loss={float(loss):.3f} "
+                      f"({_t.time() - t0:.0f}s)", flush=True)
+        print(f"# trained {n_train} steps, loss={float(loss):.3f} "
+              f"({_t.time() - t0:.0f}s)", flush=True)
         cnn_p, tr_p, seq_p = params["cnn"], params["tr"], params["seq"]
 
     eng_params = {"CNN": cnn_p, "Transformer": tr_p, "seq_lin": seq_p,
                   "ctc_lin": ctc_p}
-    return STEngine(
+    max_batch = int(os.environ.get("STAC_SERVE_MAXBATCH", "16"))
+    engine = STEngine(
         transformer, cnn, seq_lin, ctc_lin, eng_params, cmvn_init(80),
         _IdTokenizer(), beam_size=10, max_decode_tokens=192, bf16=True,
         bucket_seconds=DURATIONS,
+        # static row-batching: every coalesced batch hits the one
+        # pre-compiled (width, max_batch) shape (no request-time compiles)
+        pad_batch_rows=max_batch,
+        transfer_dtype="int16",
     )
+    # the memorized training wavs: serving payloads slice these so the
+    # briefly-trained model emits eos early (realistic hyp lengths), as
+    # bench.py's trained phase does
+    return engine, np.asarray(wavs)
 
 
 def main():
@@ -138,15 +159,30 @@ def main():
     load_seconds = float(os.environ.get("STAC_SERVE_SECONDS", "45"))
     max_batch = int(os.environ.get("STAC_SERVE_MAXBATCH", "16"))
 
-    engine = _build_trained_engine()
-    rng = np.random.default_rng(1)
+    engine, wav_bank = _build_trained_engine()
     payloads = {}
-    for d in DURATIONS:
-        wav = rng.standard_normal(int(d * SR)).astype(np.float32) * 0.1
+    for j, d in enumerate(DURATIONS):
+        wav = wav_bank[j % len(wav_bank), : int(d * SR)]
+        pcm = np.clip(wav * 32768.0, -32768, 32767).astype(np.int16)
         payloads[d] = json.dumps({
-            "audio_b64": base64.b64encode(wav.tobytes()).decode(),
+            "audio_pcm16_b64": base64.b64encode(
+                np.ascontiguousarray(pcm).tobytes()).decode(),
             "source_lang": "es", "target_lang": "en",
         })
+
+    # direct engine RTFx (fused encode+search, no HTTP): the serving
+    # engine identity without transport overhead
+    direct_wavs = [wav_bank[i % len(wav_bank)] for i in range(16)]
+    warm = engine.translate(direct_wavs)  # warmup/compile
+    hyp_lens = [len(t.split()) for t in warm]
+    print(f"# mean hyp len: {sum(hyp_lens) / len(hyp_lens):.1f}",
+          flush=True)
+    t0 = time.time()
+    for _ in range(3):
+        engine.translate(direct_wavs)
+    direct_rtfx = 16 * 10.0 * 3 / (time.time() - t0)
+    print(f"# direct engine RTFx (fused, B16x10s): {direct_rtfx:.1f}",
+          flush=True)
 
     front = StreamingFrontEnd(engine, max_batch=max_batch, max_wait_ms=20)
     server = STHttpServer(front, host="127.0.0.1", port=0).start()
@@ -228,6 +264,7 @@ def main():
         if len(lat) else None,
         "batch_histogram": {str(k): v for k, v in hist.items()},
         "load_seconds": round(elapsed, 1),
+        "engine_rtfx_direct": round(direct_rtfx, 2),
     }
     print(json.dumps(out))
 

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "engine default)")
     # front-end knobs
     p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--pad-batch", type=int, default=None,
+                   help="pad engine batches to a multiple of this row "
+                        "count so any coalesced batch size hits a "
+                        "pre-compiled shape (default: --max-batch)")
     p.add_argument("--max-wait-ms", type=float, default=20.0)
     p.add_argument("--request-timeout", type=float, default=300.0)
     p.add_argument("--log-level", default="INFO")
@@ -84,6 +88,8 @@ def start_servers(args):
             float(s) for s in args.buckets.split(",") if s.strip()
         ),
         bf16=not args.no_bf16,
+        pad_batch_rows=(args.pad_batch if args.pad_batch is not None
+                        else args.max_batch),
     )
     if args.data_parallel not in (0, 1):
         import jax

@@ -667,6 +667,48 @@ class MultiTaskBeamSearch:
             else getattr(model_def, "grow_decode_cache", None)
         )
 
+    # ---- jit-friendly array surface -------------------------------------
+    def search_arrays(self, enc_out, wav_lens=None, ctc_log_probs=None,
+                      prompt=None, params=None):
+        """Raw search returning device arrays (tokens, lengths, scores,
+        settled) — safe to call INSIDE an outer jit (no host syncs, no
+        Python-list conversion, tiering not applied). The serving engine
+        fuses encode + search into one compiled program through this
+        (docs/PERF.md round 3: halves per-bucket dispatches)."""
+        if prompt is None:
+            if self.decoder_input_tokens is None:
+                raise RuntimeError(
+                    "call set_decoder_prefix_tokens(src, tgt) first or "
+                    "pass prompt="
+                )
+            prompt = jnp.asarray(self.decoder_input_tokens, jnp.int32)
+        if self._decode_step_fn is None:
+            raise RuntimeError("searcher not bound to parameters (bind())")
+        S = enc_out.shape[1]
+        max_steps = max(int(self.config.max_decode_ratio * S), 1)
+        if self.max_decode_tokens is not None:
+            max_steps = min(max_steps, self.max_decode_tokens)
+        enc_bias = None
+        if self.mask_encoder_padding and wav_lens is not None:
+            from ..ops import masks as M
+
+            pad = M.src_key_padding_mask_encode(jnp.asarray(wav_lens), S)
+            enc_bias = M.additive_bias(pad[:, None, None, :])
+        ctc_lens = None
+        if ctc_log_probs is not None and wav_lens is not None:
+            ctc_lens = jnp.floor(
+                jnp.asarray(wav_lens) * ctc_log_probs.shape[1]
+            ).astype(jnp.int32)
+        return beam_search(
+            self._decode_step_fn, self._init_cache_fn,
+            self._params if params is None else params,
+            enc_out, prompt, max_steps, self.config,
+            self._cache_gather_fn, enc_bias, ctc_log_probs, ctc_lens,
+            lm_step_fn=self._lm_step_fn, lm_init_fn=self._lm_init_fn,
+            grow_cache_fn=self._grow_cache_fn,
+            cache_growth=self.cache_growth,
+        )
+
     # ---- call surface ---------------------------------------------------
     def __call__(self, enc_out, wav_lens=None, ctc_log_probs=None):
         """enc_out: (B, S, d); returns (hyps list-of-id-lists, scores np).

@@ -62,6 +62,8 @@ class STEngine:
         sample_rate: int = 16000,
         bucket_seconds: Sequence[float] = _BUCKET_SECONDS,
         bf16: bool = True,
+        pad_batch_rows: Optional[int] = None,
+        transfer_dtype: str = "float32",
         turn_id: int = 7,
         xt_id: int = 8,
         mesh=None,
@@ -77,6 +79,25 @@ class STEngine:
         self.tokenizer = tokenizer
         self.sample_rate = int(sample_rate)
         self.buckets = tuple(sorted(bucket_seconds))
+        # static row-batching: pad every engine call's row count up to a
+        # multiple of this, so coalesced batches of ANY size hit one
+        # pre-compiled (width, rows) shape instead of compiling per formed
+        # batch size — a serving front end forms 1..max_batch-row batches,
+        # and each distinct row count would otherwise be a fresh XLA
+        # compile at request time (docs/PERF.md round 3). Padded rows are
+        # full-length silence and are dropped on output.
+        self.pad_batch_rows = (
+            int(pad_batch_rows) if pad_batch_rows else None
+        )
+        # host->device audio transfer dtype. "int16": requests are packed
+        # as PCM16 (audio is 16-bit at origin anyway) and converted to
+        # float on device — halves per-request H2D bytes, the dominant
+        # per-call cost once encode+search are fused (docs/PERF.md r3).
+        if transfer_dtype not in ("float32", "int16"):
+            raise ValueError(
+                f"transfer_dtype must be float32|int16, got {transfer_dtype}"
+            )
+        self.transfer_dtype = transfer_dtype
         self.source_lang = source_lang
         self.target_lang = target_lang
         self.turn_id, self.xt_id = turn_id, xt_id
@@ -121,6 +142,8 @@ class STEngine:
 
         @jax.jit
         def _encode(params, cmvn, wavs, wav_lens):
+            if wavs.dtype == jnp.int16:  # PCM16 transfer: unpack on device
+                wavs = wavs.astype(jnp.float32) / 32768.0
             feats = fbank(wavs)
             feats = cmvn_apply(cmvn, feats)
             if use_bf16:
@@ -132,6 +155,25 @@ class STEngine:
             return enc
 
         self._encode = _encode
+
+        # fused serving path: fbank -> CMVN -> CNN -> encode -> beam search
+        # as ONE compiled program per bucket — halves per-bucket dispatches
+        # and keeps enc_out on device (docs/PERF.md round 3). The searcher
+        # inlines via search_arrays; prompt stays a runtime argument so
+        # ASR<->ST switching reuses the compiled kernel.
+        searcher = self.searcher
+
+        @jax.jit
+        def _decode_fused(params, cmvn, wavs, wav_lens, prompt):
+            enc = _encode(params, cmvn, wavs, wav_lens)
+            sp = {"t": params["Transformer"], "s": params["seq_lin"],
+                  "lm": None}
+            tokens, lengths, scores, _ = searcher.search_arrays(
+                enc, wav_lens, prompt=prompt, params=sp
+            )
+            return tokens, lengths, scores
+
+        self._decode_fused = _decode_fused
 
         if ctc_lin is not None:
             @jax.jit
@@ -265,19 +307,35 @@ class STEngine:
 
     def _prepare(self, wavs: Sequence[np.ndarray]):
         """Group inputs by bucket; returns list of (indices, array, lens)."""
+        pcm16 = self.transfer_dtype == "int16"
         by_width: Dict[int, List[int]] = {}
         arrays = []
         for i, wav in enumerate(wavs):
-            wav = np.asarray(wav, np.float32)
+            wav = np.asarray(wav)
+            if pcm16:
+                # pack once on host; device unpacks (halves H2D bytes)
+                if wav.dtype != np.int16:
+                    wav = np.clip(
+                        np.asarray(wav, np.float32) * 32768.0,
+                        -32768, 32767,
+                    ).astype(np.int16)
+            elif wav.dtype == np.int16:
+                wav = wav.astype(np.float32) / 32768.0
+            else:
+                wav = np.asarray(wav, np.float32)
             arrays.append(wav)
             by_width.setdefault(self._bucket_width(len(wav)), []).append(i)
         groups = []
         for width, idx in sorted(by_width.items()):
             rows = len(idx)
+            if self.pad_batch_rows:
+                rows = rows + (-rows) % self.pad_batch_rows
             if self.mesh is not None:
                 d = int(self.mesh.shape["data"])
                 rows = rows + (-rows) % d
-            batch = np.zeros((rows, width), np.float32)
+            batch = np.zeros(
+                (rows, width), np.int16 if pcm16 else np.float32
+            )
             # padded rows carry full-length silence (len 1.0): zero-length
             # masks would make every encoder position padding
             lens = np.ones((rows,), np.float32)
@@ -302,12 +360,19 @@ class STEngine:
         src_id = sp.encode_as_ids(f"[{src_lang}]")[-1]
         tgt_id = sp.encode_as_ids(f"[{tgt_lang}]")[-1]
         out: List[Optional[str]] = [None] * len(wavs)
+        prompt = jnp.asarray(
+            [self.searcher.bos_token, src_id, tgt_id], jnp.int32
+        )
         for idx, batch, lens in self._prepare(wavs):
-            enc = self._encode(self.params, self.cmvn, batch, lens)
-            self.searcher.set_decoder_prefix_tokens(src_id, tgt_id)
-            hyps, _ = self.searcher(enc, lens)
+            tokens, lengths, _scores = self._decode_fused(
+                self.params, self.cmvn, batch, lens, prompt
+            )
+            tokens = np.asarray(tokens)
+            lengths = np.asarray(lengths)
             for row, i in enumerate(idx):
-                out[i] = sp.decode_ids(hyps[row])
+                out[i] = sp.decode_ids(
+                    [int(t) for t in tokens[row, : lengths[row]]]
+                )
         return out  # type: ignore[return-value]
 
     # ------------------------------------------------------------------ API

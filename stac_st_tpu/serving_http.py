@@ -48,8 +48,14 @@ def _decode_audio(payload: dict) -> np.ndarray:
     if "audio_b64" in payload:
         raw = base64.b64decode(payload["audio_b64"])
         return np.frombuffer(raw, np.float32).copy()
-    raise ValueError("request needs 'audio' (list of floats) or "
-                     "'audio_b64' (base64 float32 little-endian)")
+    if "audio_pcm16_b64" in payload:
+        # PCM16 wire format: half the payload bytes; the engine unpacks
+        # on device when transfer_dtype="int16" (or on host otherwise)
+        raw = base64.b64decode(payload["audio_pcm16_b64"])
+        return np.frombuffer(raw, np.int16).copy()
+    raise ValueError("request needs 'audio' (list of floats), "
+                     "'audio_b64' (base64 float32 LE) or "
+                     "'audio_pcm16_b64' (base64 int16 LE)")
 
 
 class _Handler(BaseHTTPRequestHandler):

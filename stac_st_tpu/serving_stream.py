@@ -117,8 +117,10 @@ class StreamingFrontEnd:
             raise RuntimeError(
                 "StreamingFrontEnd is closed; call start() to serve again"
             )
-        req = _Request(np.asarray(wav, np.float32), task, source_lang,
-                       target_lang)
+        wav = np.asarray(wav)
+        if wav.dtype != np.int16:  # PCM16 passes through untouched
+            wav = wav.astype(np.float32, copy=False)
+        req = _Request(wav, task, source_lang, target_lang)
         with self._lock:
             self._stats["requests"] += 1
         self._queue.put(req)

@@ -271,3 +271,27 @@ class TestMeshServing:
         turns_m = meshed.speaker_turns(wavs)
         turns_p = plain.speaker_turns(wavs)
         assert turns_m == turns_p
+
+
+class TestPcm16Transfer:
+    def test_pcm16_transfer_matches_float(self, parts):
+        """transfer_dtype=int16 packs audio as PCM16 for H2D; with
+        16-bit-exact inputs the decode is bit-identical to float32."""
+        rng = np.random.default_rng(5)
+        ints = (rng.integers(-2000, 2000, int(0.4 * 16000))
+                .astype(np.int16))
+        wav = ints.astype(np.float32) / 32768.0  # exactly representable
+        eng_f = _build_engine(parts)
+        eng_i = _build_engine(parts, transfer_dtype="int16")
+        out_f = eng_f.translate([wav, wav * 0.5])
+        out_i = eng_i.translate([wav, wav * 0.5])
+        # wav*0.5 is also 16-bit exact (ints are even or map consistently)
+        assert out_f[0] == out_i[0]
+
+    def test_int16_input_accepted_by_float_engine(self, parts):
+        rng = np.random.default_rng(6)
+        ints = (rng.integers(-2000, 2000, int(0.4 * 16000))
+                .astype(np.int16))
+        eng_f = _build_engine(parts)
+        wav_f = ints.astype(np.float32) / 32768.0
+        assert eng_f.translate([ints]) == eng_f.translate([wav_f])

@@ -59,14 +59,55 @@ def store_rttm_file(rttm_output: List[str], path: str) -> None:
             f.write(line + "\n")
 
 
-def _import_pyannote():
+class _LocalModelLoader:
+    """``Model.from_pretrained``-shaped loader for locally built
+    checkpoints (:mod:`stac_st_tpu.eval.pyannote_local`)."""
+
+    @staticmethod
+    def from_pretrained(path, use_auth_token=None):
+        from stac_st_tpu.eval.pyannote_local import load_local_model
+
+        return load_local_model(path)
+
+
+class _LocalPipelineUnsupported:
+    @staticmethod
+    def from_pretrained(path, use_auth_token=None):
+        raise RuntimeError(
+            "the local backend implements the segmentation model path only; "
+            "the speaker-diarization pipeline (clustering) needs real "
+            "pyannote.audio"
+        )
+
+
+def _import_pyannote(backend: str = "pyannote"):
+    """Resolve the five objects the model path consumes.
+
+    ``backend="pyannote"`` (default) requires the real package;
+    ``backend="local"`` uses the first-party torch backend
+    (:mod:`stac_st_tpu.eval.pyannote_local`) with a locally built
+    checkpoint path as ``model_name`` — the Whisper-baseline trick for
+    egress-blocked environments.
+    """
+    if backend == "local":
+        from stac_st_tpu.eval.pyannote_local import (
+            Binarize,
+            LocalInference,
+            Peak,
+        )
+
+        return (LocalInference, _LocalModelLoader, _LocalPipelineUnsupported,
+                Binarize, Peak)
     try:
         from pyannote.audio import Inference, Model, Pipeline  # type: ignore
         from pyannote.audio.utils.signal import Binarize, Peak  # type: ignore
     except ImportError as exc:
         raise RuntimeError(
             "pyannote.audio is not installed in this environment; run this "
-            "baseline where it is available, or feed an external RTTM "
+            "baseline where it is available, pass backend='local' with a "
+            "locally built checkpoint "
+            "(stac_st_tpu.eval.pyannote_local."
+            "build_local_segmentation_checkpoint), or feed an external RTTM "
             "directly into stac_st_tpu.eval.speaker_change "
             f"(import error: {exc})"
         )
@@ -80,12 +121,13 @@ def run_pyannote_manifest(
     model_name: str = "pyannote/segmentation",
     auth_token: Optional[str] = None,
     data_root: Optional[str] = None,
+    backend: str = "pyannote",
 ) -> List[str]:
     """Reference ``eval_pyannote.main``: manifest → one RTTM keyed by
     utterance id (``:.4f`` fields)."""
     import numpy as np
 
-    Inference, Model, Pipeline, Binarize, Peak = _import_pyannote()
+    Inference, Model, Pipeline, Binarize, Peak = _import_pyannote(backend)
     with open(manifest_path) as f:
         gt_data = json.load(f)
 
@@ -138,9 +180,10 @@ def run_pyannote_baseline(
     mode: str = "segmentation",   # segmentation | diarization
     model_path: Optional[str] = None,
     auth_token: Optional[str] = None,
+    backend: str = "pyannote",
 ) -> Dict[str, List[str]]:
     """Per-wav convenience runner: {wav_path: rttm_lines}."""
-    Inference, Model, Pipeline, Binarize, Peak = _import_pyannote()
+    Inference, Model, Pipeline, Binarize, Peak = _import_pyannote(backend)
     results: Dict[str, List[str]] = {}
     if mode == "diarization":
         pipe = Pipeline.from_pretrained(

@@ -26,7 +26,9 @@ import time
 import numpy as np
 
 SR = 16000
-SECONDS = 15.0
+# STAC_TRAIN_SECONDS: utterance length (default 15 s, the reference batch
+# shape; long-form multi-turn windows run 30-90 s — SURVEY §5.7)
+SECONDS = float(os.environ.get("STAC_TRAIN_SECONDS", "15"))
 U = 128
 VOCAB = 5000
 
@@ -64,12 +66,20 @@ def _build(preset, batch_rows):
             tgt_vocab=VOCAB, input_size=5120, d_model=p["d"], nhead=p["h"],
             num_encoder_layers=p["enc"], num_decoder_layers=p["dec"],
             d_ffn=4 * p["d"],
-            dropout=0.1, normalize_before=True,
+            # STAC_TRAIN_NODROP=1: bisect knob — rate-0 dropout shortcuts
+            # all mask generation, isolating the RNG+mask cost
+            dropout=(0.0 if os.environ.get("STAC_TRAIN_NODROP") == "1"
+                     else 0.1),
+            normalize_before=True,
+            # STAC_TRAIN_REMAT=1: rematerialize encoder layers in bwd
+            remat=(os.environ.get("STAC_TRAIN_REMAT") == "1"),
         ),
         seq_lin=LinearHead(input_size=p["d"], n_neurons=VOCAB),
         ctc_lin=LinearHead(input_size=p["d"], n_neurons=VOCAB),
         specaug_opts=None,
-        ctc_weight=0.3,
+        # STAC_TRAIN_NOCTC=1: bisect knob — drop the CTC branch entirely
+        ctc_weight=(0.0 if os.environ.get("STAC_TRAIN_NOCTC") == "1"
+                    else 0.3),
         label_smoothing=0.1,
         loss_reduction="batchmean",
         pad_index=0,
@@ -119,6 +129,8 @@ def _measure(preset, batch_rows, n_steps=10):
 
     cfg, tx, batch, state = _build(preset, batch_rows)
 
+    fwd_only = os.environ.get("STAC_TRAIN_FWDONLY") == "1"
+
     # N steps inside ONE jit call: the axon tunnel charges ~1 s dispatch
     # per call, which would swamp the step; a scan amortizes it the same
     # way a real input pipeline keeps the device busy.
@@ -131,6 +143,10 @@ def _measure(preset, batch_rows, n_steps=10):
                 )
                 loss, _ = _objectives(p_ctc, p_seq, batch, cfg)
                 return loss, new_cmvn
+
+            if fwd_only:  # bisect knob: loss only, no grad/optimizer
+                loss, _ = loss_fn(state.params)
+                return state, loss
 
             (loss, new_cmvn), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -147,7 +163,10 @@ def _measure(preset, batch_rows, n_steps=10):
         state, losses = jax.lax.scan(body, state, keys)
         return state, losses
 
-    # ONE AOT compile, reused for the run; XLA's own flop count for MFU
+    # ONE AOT compile, reused for the run; XLA's own flop count for MFU.
+    # cost_analysis counts a scan BODY once, NOT times the trip count
+    # (verified: identical flops at length 1 and 10), so the per-step
+    # count is the scan program's count as-is — do not divide by n_steps.
     compiled = multi_step.lower(
         state, batch, jax.random.PRNGKey(1)).compile()
     flops_per_step = None
@@ -156,7 +175,7 @@ def _measure(preset, batch_rows, n_steps=10):
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         if ca and ca.get("flops"):
-            flops_per_step = float(ca["flops"]) / n_steps
+            flops_per_step = float(ca["flops"])
     except Exception:
         pass
 
@@ -177,12 +196,21 @@ def main():
     if os.environ.get("STAC_TRAIN_THREEFRY") != "1":
         # TPU hardware RngBitGenerator for dropout bits (docs/PERF.md)
         jax.config.update("jax_default_prng_impl", "rbg")
+    if os.environ.get("STAC_PALLAS") == "1":
+        from stac_st_tpu.ops import pallas as pallas_mod
+
+        pallas_mod.enable()
+        print("# pallas train kernels ENABLED", flush=True)
 
     preset = os.environ.get("STAC_TRAIN_PRESET", "small")
 
-    if os.environ.get("STAC_TRAIN_SWEEP") == "1":
+    sweep = os.environ.get("STAC_TRAIN_SWEEP")
+    if sweep:
+        # "1" = default grid; otherwise a comma list of batch sizes
+        grid = ((16, 24, 32, 40, 48, 64) if sweep == "1"
+                else tuple(int(x) for x in sweep.split(",")))
         rows = []
-        for b in (16, 24, 32, 40, 48, 64):
+        for b in grid:
             try:
                 ms, aps, mfu, fl = _measure(preset, b)
             except Exception as exc:  # OOM etc: record and stop the sweep

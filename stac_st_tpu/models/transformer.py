@@ -83,9 +83,47 @@ class MultiHeadAttention(nn.Module):
         B, T, _ = x.shape
         return x.reshape(B, T, self.nhead, self.head_dim)
 
+    def _flash_trainable(self, q, k, v, bias, deterministic):
+        """Fused-attention fast path (opt-in via stac_st_tpu.ops.pallas).
+
+        Applies when the bias is key-padding-only — (B, 1, 1, Tk) or None —
+        which covers encoder self-attention and decoder cross-attention in
+        training. Dropout (and its backward) runs inside the kernel with a
+        counter-based mask; weights are not materialized, so the returned
+        attention map is None.
+        """
+        from ..ops import pallas as pallas_mod
+
+        if not pallas_mod.is_enabled():
+            return None
+        key_pad_only = bias is None or (
+            bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
+        )
+        # VMEM guard: the kernel streams whole K/V per (batch, head)
+        if not key_pad_only or k.shape[1] > 8192:
+            return None
+        from ..ops.pallas.train_attention import flash_attention_train
+
+        p = self.dropout if (self.dropout > 0.0 and not deterministic) else 0.0
+        if p > 0.0:
+            seed = jax.random.bits(
+                self.make_rng("dropout"), dtype=jnp.uint32
+            ).astype(jnp.int32)
+        else:
+            seed = jnp.int32(0)
+        bias2 = None if bias is None else bias.reshape(bias.shape[0], -1)
+        out = flash_attention_train(
+            q, k, v, bias2, seed, p, pallas_mod.interpret_mode()
+        )
+        B, Tq = out.shape[:2]
+        return self.out_proj(out.reshape(B, Tq, self.d_model)), None
+
     def _attend(self, q, k, v, bias, deterministic):
         # q: (B, Tq, H, Dh); k/v: (B, Tk, H, Dh); bias: broadcastable to
         # (B, H, Tq, Tk) additive.
+        fused = self._flash_trainable(q, k, v, bias, deterministic)
+        if fused is not None:
+            return fused
         scale = 1.0 / jnp.sqrt(jnp.asarray(self.head_dim, jnp.float32))
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32

@@ -65,16 +65,20 @@ def _dropout_mask(seed_ref, bh, qt, kt, p_drop: float, shape,
       cross-tile decorrelation).
     """
     thresh_u = np.uint32(min(int(p_drop * 2.0 ** 32), 2 ** 32 - 1))
-    if use_hw_prng:
-        pltpu.prng_seed(seed_ref[0], bh, qt, kt)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        keep = bits >= thresh_u
-        return keep.astype(jnp.float32) / (1.0 - p_drop)
     u32 = jnp.uint32
     h = (seed_ref[0].astype(u32) * u32(0x9E3779B1)
          ^ (bh + 1).astype(u32) * u32(0x85EBCA6B)
          ^ (qt + 1).astype(u32) * u32(0xC2B2AE35)
          ^ (kt + 1).astype(u32) * u32(0x27D4EB2F))
+    if use_hw_prng:
+        # this toolchain's Mosaic rejects prng_seed with >2 operands, so
+        # the tile coordinates are folded into ONE 32-bit seed first (the
+        # same golden-ratio mix as the counter path) — still deterministic
+        # in (seed, bh, qt, kt), which is all fwd/bwd equality needs
+        pltpu.prng_seed(h.astype(jnp.int32))
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        keep = bits >= thresh_u
+        return keep.astype(jnp.float32) / (1.0 - p_drop)
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(u32)
     col = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(u32)
     x = h + row * u32(0x01000193) + col * u32(0x0000F1A7)

@@ -94,7 +94,7 @@ class MultiHeadAttention(nn.Module):
         """
         from ..ops import pallas as pallas_mod
 
-        if not pallas_mod.is_enabled():
+        if not pallas_mod.train_enabled():
             return None
         key_pad_only = bias is None or (
             bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1

@@ -14,9 +14,11 @@ its step closures — toggle BEFORE constructing/binding searchers or engines.
 from .attention import flash_attention
 
 _ENABLED = False
+_TRAIN_ENABLED = False
 _INTERPRET = False
 
 __all__ = ["flash_attention", "enable", "disable", "is_enabled",
+           "enable_train", "disable_train", "train_enabled",
            "interpret_mode"]
 
 
@@ -27,13 +29,39 @@ def enable(interpret: bool = False) -> None:
 
 
 def disable() -> None:
-    global _ENABLED, _INTERPRET
+    global _ENABLED, _TRAIN_ENABLED, _INTERPRET
     _ENABLED = False
+    _TRAIN_ENABLED = False
     _INTERPRET = False
 
 
 def is_enabled() -> bool:
     return _ENABLED
+
+
+def enable_train(interpret: bool = False) -> None:
+    """Enable only the TRAINING flash-attention kernel.
+
+    The decode-time kernels stay off (measured launch-bound on remote-
+    Mosaic toolchains — docs/PERF.md), but the training kernel operates
+    on large tiles and wins wherever the batch is production-sized: at
+    the reference's 450-500 audio-s budget the XLA path falls into a
+    spill valley (6.8k audio-s/s) while the kernel holds 9.3k. The
+    trainer auto-enables this on TPU (run_opt ``train_attn_kernel``).
+    """
+    global _TRAIN_ENABLED, _INTERPRET
+    _TRAIN_ENABLED = True
+    if interpret:
+        _INTERPRET = True
+
+
+def disable_train() -> None:
+    global _TRAIN_ENABLED
+    _TRAIN_ENABLED = False
+
+
+def train_enabled() -> bool:
+    return _ENABLED or _TRAIN_ENABLED
 
 
 def interpret_mode() -> bool:

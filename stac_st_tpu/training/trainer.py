@@ -192,6 +192,21 @@ class STTrainer:
                     "%s -> %s for dropout throughput (docs/PERF.md); "
                     "run_opt rng_impl=threefry reverts", prev, rng_impl,
                 )
+        # run_opt train_attn_kernel: auto (default) | on | off.
+        # auto = flash-attention training kernel on real TPU backends
+        # only: at the reference's 450-500 audio-s batch budget the XLA
+        # attention path hits an HBM spill valley (docs/PERF.md round-3
+        # sweep: 6.8k vs 9.3k audio-s/s); on CPU the kernel would need
+        # interpret mode, which is far slower than XLA.
+        tak = str(self.run_opts.get("train_attn_kernel", "auto")).lower()
+        from ..ops import pallas as _pallas
+
+        if tak == "on" or (
+            tak == "auto" and jax.default_backend() not in ("cpu",)
+        ):
+            _pallas.enable_train()
+            logger.info("flash-attention training kernel enabled "
+                        "(train_attn_kernel=%s)", tak)
         self._rng = jax.random.PRNGKey(int(h.get("seed", 8886)))
         self.train_stats: Dict[str, float] = {}
         self.debug = bool(self.run_opts.get("debug", False))

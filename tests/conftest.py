@@ -33,3 +33,17 @@ def _stable_prng_impl():
     yield
     if jax.config.jax_default_prng_impl != prev:
         jax.config.update("jax_default_prng_impl", prev)
+
+
+@pytest.fixture(autouse=True)
+def _stable_pallas_state():
+    """STTrainer may enable the train-only flash-attention kernel
+    (run_opt train_attn_kernel); restore the module toggles after each
+    test so kernel state never leaks across tests."""
+    from stac_st_tpu.ops import pallas as pallas_mod
+
+    prev = (pallas_mod._ENABLED, pallas_mod._TRAIN_ENABLED,
+            pallas_mod._INTERPRET)
+    yield
+    (pallas_mod._ENABLED, pallas_mod._TRAIN_ENABLED,
+     pallas_mod._INTERPRET) = prev

@@ -407,3 +407,35 @@ class TestFlashAttentionTrain:
         assert np.isfinite(float(l))
         assert all(np.all(np.isfinite(np.asarray(x)))
                    for x in jax.tree_util.tree_leaves(g))
+
+    def test_enable_train_gates_only_training_path(self, rng):
+        """enable_train turns on the flash TRAIN kernel without enabling
+        the decode kernels (is_enabled stays False), and matches XLA."""
+        import stac_st_tpu.ops.pallas as pallas_mod
+        from stac_st_tpu.models import TransformerMultiTask
+
+        model = TransformerMultiTask(
+            tgt_vocab=30, input_size=16, d_model=64, nhead=2,
+            num_encoder_layers=2, num_decoder_layers=1, d_ffn=128,
+            dropout=0.0, normalize_before=True,
+        )
+        src = jnp.asarray(rng.standard_normal((2, 150, 16)), jnp.float32)
+        tgt = jnp.asarray(rng.integers(1, 30, (2, 12)))
+        wav_len = jnp.asarray([1.0, 0.6], jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), src, tgt)
+
+        def loss(p):
+            enc, dec = model.apply(p, src, tgt, wav_len, 0, True)
+            return jnp.sum(enc ** 2) + jnp.sum(dec ** 2)
+
+        base_l = float(loss(params))
+        try:
+            pallas_mod.enable_train(interpret=True)
+            assert pallas_mod.train_enabled()
+            assert not pallas_mod.is_enabled()  # decode kernels stay off
+            fast_l = float(loss(params))
+        finally:
+            pallas_mod.disable_train()
+            pallas_mod._INTERPRET = False
+        assert not pallas_mod.train_enabled()
+        np.testing.assert_allclose(fast_l, base_l, rtol=1e-4)

@@ -117,6 +117,9 @@ def main():
         using_eos_threshold=True, length_normalization=True,
         temperature=1.15,
         **({"cache_growth": int(growth)} if growth else {}),
+        # STAC_KV_INT8=1: int8-quantized decode KV cache (opt-in)
+        **({"kv_cache_dtype": "int8"}
+           if os.environ.get("STAC_KV_INT8") == "1" else {}),
     )
     searcher.bind(tr_params, seq_params)
     searcher.set_decoder_prefix_tokens(3, 4)

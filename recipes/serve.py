@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pad engine batches to a multiple of this row "
                         "count so any coalesced batch size hits a "
                         "pre-compiled shape (default: --max-batch)")
+    p.add_argument("--kv-cache-dtype", choices=("int8",), default=None,
+                   help="quantize the decode self-attention KV cache "
+                        "(halves its per-step HBM reads; docs/PERF.md)")
     p.add_argument("--max-wait-ms", type=float, default=20.0)
     p.add_argument("--request-timeout", type=float, default=300.0)
     p.add_argument("--log-level", default="INFO")
@@ -90,6 +93,7 @@ def start_servers(args):
         bf16=not args.no_bf16,
         pad_batch_rows=(args.pad_batch if args.pad_batch is not None
                         else args.max_batch),
+        kv_cache_dtype=args.kv_cache_dtype,
     )
     if args.data_parallel not in (0, 1):
         import jax

@@ -493,6 +493,7 @@ class MultiTaskBeamSearch:
         mask_encoder_padding: bool = False,
         max_decode_tokens: Optional[int] = None,
         cache_growth: Optional[int] = 64,
+        kv_cache_dtype: Optional[str] = None,
         **unused,
     ):
         self.model_def = modules[0]
@@ -545,6 +546,16 @@ class MultiTaskBeamSearch:
         # ~triangular, and early-exiting (trained) models never touch the
         # large allocations. None disables (single full-budget segment).
         self.cache_growth = int(cache_growth) if cache_growth else None
+        # int8-quantized self-attention KV cache: halves the decode loop's
+        # dominant HBM stream (the per-step cache read — the int8→bf16
+        # convert fuses into the matmul operand load, measured 357→223
+        # µs/step at bench shapes, tools/exp_int8_cache.py). Per-(row,
+        # head, position) fp32 scales; opt-in (tiny quantization noise can
+        # reorder near-tied beams). Ignored under Pallas anc mode.
+        if kv_cache_dtype not in (None, "int8"):
+            raise ValueError(f"kv_cache_dtype: {kv_cache_dtype!r} "
+                             "(supported: None, 'int8')")
+        self.kv_cache_dtype = kv_cache_dtype
         self.bos_token = int(bos_index)
         self.source_lang = int(source_lang)
         self.target_lang = int(target_lang)
@@ -622,6 +633,8 @@ class MultiTaskBeamSearch:
             per_utt_bytes = 2 * beam * h * max_len * dh * 4  # fp32 worst
             return per_utt_bytes <= 8 * 1024 * 1024
 
+        kv_cache_dtype = self.kv_cache_dtype
+
         def init_cache_fn(params, enc_out, max_len, enc_bias=None, beam=1):
             anc_mode = (
                 anc_enabled and beam > 1
@@ -629,7 +642,7 @@ class MultiTaskBeamSearch:
             )
             return model_def.apply(
                 params["t"], enc_out, max_len, enc_bias, beam,
-                anc_mode,
+                anc_mode, None if anc_mode else kv_cache_dtype,
                 method=model_def.init_decode_cache,
             )
 
@@ -646,10 +659,12 @@ class MultiTaskBeamSearch:
                 self_c = layer["self"]
                 new_layers.append({
                     **layer,
+                    # gather every per-row leaf (k/v plus the int8 mode's
+                    # k_scale/v_scale); "index" is a shared scalar
                     "self": {
-                        "k": jnp.take(self_c["k"], flat_parent, axis=0),
-                        "v": jnp.take(self_c["v"], flat_parent, axis=0),
-                        "index": self_c["index"],
+                        name: (leaf if name == "index"
+                               else jnp.take(leaf, flat_parent, axis=0))
+                        for name, leaf in self_c.items()
                     },
                 })
             return {**cache, "layers": new_layers}

@@ -219,7 +219,7 @@ class TransformerMultiTask(nn.Module):
     # --------------------------------------------------- KV-cached decode
     def init_decode_cache(self, encoder_out, max_len: int,
                           enc_mask_bias=None, beam: int = 1,
-                          anc_mode: bool = False):
+                          anc_mode: bool = False, cache_dtype=None):
         """Build the functional decode cache.
 
         encoder_out: (B, S, d) — per-utterance, UNTILED even for beam > 1:
@@ -234,7 +234,7 @@ class TransformerMultiTask(nn.Module):
         B = encoder_out.shape[0]
         caches = self.decoder.init_cache(
             B * beam, max_len, encoder_out, dtype=encoder_out.dtype,
-            beam=beam, anc_mode=anc_mode,
+            beam=beam, anc_mode=anc_mode, cache_dtype=cache_dtype,
         )
         cache = {"layers": caches, "enc_bias": enc_mask_bias}
         if anc_mode:
@@ -272,9 +272,15 @@ class TransformerMultiTask(nn.Module):
             v = jnp.pad(
                 v, ((0, 0), (0, 0), (0, new_max_len - v.shape[2]), (0, 0))
             )
-            layers.append(
-                {**layer, "self": {"k": k, "v": v, "index": sc["index"]}}
-            )
+            new_self = {"k": k, "v": v, "index": sc["index"]}
+            for sc_name in ("k_scale", "v_scale"):  # int8 cache mode
+                if sc_name in sc:
+                    s = sc[sc_name]
+                    new_self[sc_name] = jnp.pad(
+                        s, ((0, 0), (0, 0), (0, 0),
+                            (0, new_max_len - s.shape[3]))
+                    )
+            layers.append({**layer, "self": new_self})
         out = {**cache, "layers": layers}
         if anc_mode:
             anc = cache["anc"]

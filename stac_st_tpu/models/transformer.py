@@ -201,6 +201,9 @@ class MultiHeadAttention(nn.Module):
         q = q_r[:, :, None, :]       # (B, H, 1, Dh)
         k_new = k_r[:, :, None, :]
         v_new = v_r[:, :, None, :]
+        if cache["k"].dtype == jnp.int8:
+            return self._step_int8(q, k_new, v_new, cache, bias,
+                                   fused_update)
         idx = cache["index"]
         S_cache = cache["k"].shape[-1]
         if fused_update:
@@ -244,6 +247,68 @@ class MultiHeadAttention(nn.Module):
             pos_bias = pos_bias + bias
         out = self._decode_attend(q, kT, v, pos_bias)
         return out, {"k": kT, "v": v, "index": idx + 1}
+
+    def _step_int8(self, q, k_new, v_new, cache, bias, fused_update):
+        """Decode step against an int8-quantized self-attention cache.
+
+        Opt-in via ``kv_cache_dtype='int8'`` (searcher/engine). K/V rows
+        are quantized at APPEND time with one fp32 scale per
+        (row, head, position): K's scale multiplies its logits column
+        after the QKᵀ matmul, V's folds into the softmax weights before
+        the weightsᵀV matmul, so both matmuls stream int8 bytes from HBM
+        (the int8→bf16 convert fuses into the operand load — measured
+        357 → 223 µs/step for the cache read at bench shapes,
+        ``tools/exp_int8_cache.py``). Unwritten positions carry scale 0
+        and are masked by the position bias.
+        """
+        idx = cache["index"]
+        kT_c, v_c = cache["k"], cache["v"]
+        k_sc, v_sc = cache["k_scale"], cache["v_scale"]  # (B, H, 1, S) f32
+        S = kT_c.shape[-1]
+
+        def quant(x):  # x (B, H, 1, Dh) -> int8 values + (B, H, 1, 1) scale
+            s = jnp.maximum(
+                jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                        keepdims=True), 1e-6,
+            ) / 127.0
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                          -127, 127).astype(jnp.int8)
+            return xq, s
+
+        k_q, s_k = quant(k_new)
+        v_q, s_v = quant(v_new)
+        on_step = jnp.arange(S)[None, None, None, :] == idx  # (1,1,1,S)
+        if fused_update:
+            kT = jnp.where(on_step, jnp.swapaxes(k_q, 2, 3), kT_c)
+            v = jnp.where(
+                jnp.arange(S)[None, None, :, None] == idx, v_q, v_c
+            )
+        else:
+            kT = jax.lax.dynamic_update_slice(
+                kT_c, jnp.swapaxes(k_q, 2, 3), (0, 0, 0, idx))
+            v = jax.lax.dynamic_update_slice(v_c, v_q, (0, 0, idx, 0))
+        k_sc = jnp.where(on_step, s_k, k_sc)
+        v_sc = jnp.where(on_step, s_v, v_sc)
+
+        scale = 1.0 / jnp.sqrt(jnp.asarray(self.head_dim, jnp.float32))
+        logits = jnp.matmul(
+            q, kT.astype(q.dtype), preferred_element_type=jnp.float32
+        ) * (k_sc * scale)  # per-position dequant rides the logits column
+        pos_bias = jnp.where(jnp.arange(S)[None, None, None, :] > idx,
+                             -1e9, 0.0)
+        if bias is not None:
+            pos_bias = pos_bias + bias
+        logits = logits + pos_bias
+        weights = jax.nn.softmax(logits, axis=-1)
+        w_eff = (weights * v_sc).astype(q.dtype)  # fold V's dequant scale
+        out = jnp.matmul(
+            w_eff, v.astype(q.dtype), preferred_element_type=jnp.float32
+        ).astype(q.dtype)  # (B, H, 1, Dh)
+        B = out.shape[0]
+        out = self.out_proj(jnp.swapaxes(out, 1, 2).reshape(
+            B, 1, self.d_model))
+        return out, {"k": kT, "v": v, "k_scale": k_sc, "v_scale": v_sc,
+                     "index": idx + 1}
 
     def _fused_qkv(self, query):
         """One (d, 3d) matmul for the decode step (docs/PERF.md)."""
@@ -455,24 +520,36 @@ class DecoderLayer(nn.Module):
 
     # ---- KV-cached single-step mode ------------------------------------
     def init_cache(self, batch: int, max_len: int, memory, dtype=jnp.float32,
-                   beam: int = 1, anc_mode: bool = False):
+                   beam: int = 1, anc_mode: bool = False,
+                   cache_dtype=None):
         """Decode-layout caches: self Kᵀ (B·beam, H, Dh, S) / V (·, H, S, Dh);
         cross K/V precomputed ONCE per utterance (memory is (B, S, d) —
         untiled) and shared across beams at attention time. ``anc_mode``
         (gather-free beam decode, Pallas) stores K like V — (·, H, S, Dh) —
-        so the per-step append is a sublane-index in-place update."""
+        so the per-step append is a sublane-index in-place update.
+        ``cache_dtype='int8'`` quantizes the self K/V cache with per-
+        (row, head, position) fp32 scales (halved decode HBM traffic —
+        docs/PERF.md round 3); unsupported combined with anc_mode."""
         head_dim = self.d_model // self.nhead
         k_cross, v_cross = self.cross_attn.project_kv_decode(memory)
         k_shape = (
             (batch, self.nhead, max_len, head_dim) if anc_mode
             else (batch, self.nhead, head_dim, max_len)
         )
+        self_cache = {
+            "k": jnp.zeros(k_shape, dtype),
+            "v": jnp.zeros((batch, self.nhead, max_len, head_dim), dtype),
+            "index": jnp.zeros((), jnp.int32),
+        }
+        if cache_dtype == "int8" and not anc_mode:
+            self_cache["k"] = jnp.zeros(k_shape, jnp.int8)
+            self_cache["v"] = jnp.zeros(
+                (batch, self.nhead, max_len, head_dim), jnp.int8)
+            sc_shape = (batch, self.nhead, 1, max_len)
+            self_cache["k_scale"] = jnp.zeros(sc_shape, jnp.float32)
+            self_cache["v_scale"] = jnp.zeros(sc_shape, jnp.float32)
         return {
-            "self": {
-                "k": jnp.zeros(k_shape, dtype),
-                "v": jnp.zeros((batch, self.nhead, max_len, head_dim), dtype),
-                "index": jnp.zeros((), jnp.int32),
-            },
+            "self": self_cache,
             "cross_k": k_cross,
             "cross_v": v_cross,
         }
@@ -567,9 +644,11 @@ class TransformerDecoder(nn.Module):
         return self.final_norm(x), attn
 
     def init_cache(self, batch: int, max_len: int, memory,
-                   dtype=jnp.float32, beam: int = 1, anc_mode: bool = False):
+                   dtype=jnp.float32, beam: int = 1, anc_mode: bool = False,
+                   cache_dtype=None):
         return [
-            layer.init_cache(batch, max_len, memory, dtype, beam, anc_mode)
+            layer.init_cache(batch, max_len, memory, dtype, beam, anc_mode,
+                             cache_dtype)
             for layer in self.layers
         ]
 

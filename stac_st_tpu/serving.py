@@ -67,6 +67,7 @@ class STEngine:
         turn_id: int = 7,
         xt_id: int = 8,
         mesh=None,
+        kv_cache_dtype: Optional[str] = None,
     ):
         """mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis —
         fleet serving: parameters/CMVN are replicated across the mesh and
@@ -134,6 +135,9 @@ class STEngine:
             beam_size=int(beam_size), using_eos_threshold=True,
             length_normalization=True, temperature=1.15,
             max_decode_tokens=max_decode_tokens,
+            # 'int8' halves per-step decode cache HBM reads (opt-in;
+            # docs/PERF.md round 3, tools/exp_int8_cache.py)
+            kv_cache_dtype=kv_cache_dtype,
         )
         self.searcher.bind(params["Transformer"], params["seq_lin"])
 

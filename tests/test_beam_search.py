@@ -370,3 +370,70 @@ class TestSegmentedCacheGrowth:
         h0, _ = base(enc)
         h1, _ = seg(enc)
         assert h0 == h1
+
+
+class TestInt8KVCache:
+    """Opt-in int8 self-attention cache (kv_cache_dtype='int8'):
+    per-(row, head, position) scales quantize K/V at append time; the
+    dequant rides the logits column (K) and the softmax weights (V).
+    Halves decode cache HBM traffic (docs/PERF.md round 3)."""
+
+    def test_int8_matches_fp_hyps(self, setup):
+        enc = _random_enc(setup, 3, 24)
+        base = setup["make_searcher"](beam_size=4)
+        q8 = setup["make_searcher"](beam_size=4, kv_cache_dtype="int8")
+        for s in (base, q8):
+            s.set_decoder_prefix_tokens(5, 6)
+        h0, s0 = base(enc)
+        h1, s1 = q8(enc)
+        assert h0 == h1  # quantization noise must not reorder these beams
+        np.testing.assert_allclose(s0, s1, rtol=5e-3, atol=5e-3)
+
+    def test_int8_cache_dtype_and_scales(self, setup):
+        model, t_params = setup["model"], setup["t_params"]
+        enc = _random_enc(setup, 2, 16)
+        cache = model.apply(
+            t_params, enc, 8, None, 2, False, "int8",
+            method=model.init_decode_cache,
+        )
+        sc = cache["layers"][0]["self"]
+        assert sc["k"].dtype == jnp.int8 and sc["v"].dtype == jnp.int8
+        assert sc["k_scale"].shape == (4, 4, 1, 8)
+        # one step writes position 0 and sets its scale
+        tok = jnp.array([3, 4, 5, 6], jnp.int32)
+        _, cache2 = model.apply(
+            t_params, tok, jnp.int32(0), cache,
+            method=model.decode_step,
+        )
+        sc2 = cache2["layers"][0]["self"]
+        assert int(sc2["index"]) == 1
+        assert np.all(np.asarray(sc2["k_scale"])[:, :, 0, 0] > 0)
+        assert np.all(np.asarray(sc2["k_scale"])[:, :, 0, 1:] == 0)
+
+    def test_int8_with_segmented_growth(self, setup):
+        enc = _random_enc(setup, 2, 48)
+        base = setup["make_searcher"](beam_size=3, kv_cache_dtype="int8",
+                                      cache_growth=None)
+        seg = setup["make_searcher"](beam_size=3, kv_cache_dtype="int8",
+                                     cache_growth=8)
+        for s in (base, seg):
+            s.set_decoder_prefix_tokens(4, 9)
+        h0, s0 = base(enc)
+        h1, s1 = seg(enc)
+        assert h0 == h1  # growth stays exact with quantized caches
+        np.testing.assert_allclose(s0, s1, rtol=1e-6)
+
+    def test_greedy_int8_runs(self, setup):
+        """beam_size=1 exercises the dus (non-fused) int8 append."""
+        enc = _random_enc(setup, 2, 16)
+        base = setup["make_searcher"](beam_size=1)
+        q8 = setup["make_searcher"](beam_size=1, kv_cache_dtype="int8")
+        for s in (base, q8):
+            s.set_decoder_prefix_tokens(5, 6)
+        h0, _ = base(enc)
+        h1, _ = q8(enc)
+        assert h0 == h1
+
+    def test_rejects_unknown_dtype(self, setup):
+        with pytest.raises(ValueError):
+            setup["make_searcher"](kv_cache_dtype="fp8")

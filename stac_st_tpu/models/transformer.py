@@ -363,7 +363,33 @@ class MultiHeadAttention(nn.Module):
         out = self.out_proj(attn.reshape(B, 1, self.d_model))
         return out, {"k": k, "v": v, "index": idx + 1}
 
-    def step_cross(self, query, kT, v, bias=None, beam: int = 1):
+    def _step_cross_int8(self, q, kT, v, bias, beam, scales):
+        """Beam-grouped cross-attention against int8 K/V (opt-in; the
+        cross cache is read EVERY decode step, so quantizing it halves a
+        budget-independent HBM stream — docs/PERF.md round 3). Dequant:
+        K's per-position scale multiplies its logits column, V's folds
+        into the softmax weights (identical to ``_step_int8``)."""
+        k_sc, v_sc = scales  # (B, H, 1, S) fp32 each
+        BB = q.shape[0]
+        B = BB // beam
+        H, Dh = self.nhead, self.head_dim
+        qg = jnp.swapaxes(q.reshape(B, beam, H, Dh), 1, 2)  # (B,H,beam,Dh)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+        logits = jnp.matmul(
+            qg, kT.astype(qg.dtype), preferred_element_type=jnp.float32
+        ) * (k_sc * scale)  # (B, H, beam, S)
+        if bias is not None:
+            logits = logits + bias  # (B, 1, 1, S) broadcasts over beams
+        weights = jax.nn.softmax(logits, axis=-1)
+        w_eff = (weights * v_sc).astype(qg.dtype)
+        out = jnp.matmul(
+            w_eff, v.astype(qg.dtype), preferred_element_type=jnp.float32
+        ).astype(qg.dtype)  # (B, H, beam, Dh)
+        out = jnp.swapaxes(out, 1, 2).reshape(BB, 1, self.d_model)
+        return self.out_proj(out)
+
+    def step_cross(self, query, kT, v, bias=None, beam: int = 1,
+                   cross_scales=None):
         """Cross-attention step against precomputed decode-layout K/V.
 
         With beam > 1, K/V are stored once per utterance (B rows) while the
@@ -373,6 +399,9 @@ class MultiHeadAttention(nn.Module):
         share of decode HBM traffic (docs/PERF.md).
         """
         q = self._q_heads(query)  # (B*beam, H, 1, Dh)
+        if kT.dtype == jnp.int8:
+            return self._step_cross_int8(q, kT, v, bias, beam,
+                                         cross_scales)
         from ..ops import pallas as pallas_mod
 
         if pallas_mod.is_enabled():
@@ -541,6 +570,11 @@ class DecoderLayer(nn.Module):
             "v": jnp.zeros((batch, self.nhead, max_len, head_dim), dtype),
             "index": jnp.zeros((), jnp.int32),
         }
+        cache = {
+            "self": self_cache,
+            "cross_k": k_cross,
+            "cross_v": v_cross,
+        }
         if cache_dtype == "int8" and not anc_mode:
             self_cache["k"] = jnp.zeros(k_shape, jnp.int8)
             self_cache["v"] = jnp.zeros(
@@ -548,11 +582,22 @@ class DecoderLayer(nn.Module):
             sc_shape = (batch, self.nhead, 1, max_len)
             self_cache["k_scale"] = jnp.zeros(sc_shape, jnp.float32)
             self_cache["v_scale"] = jnp.zeros(sc_shape, jnp.float32)
-        return {
-            "self": self_cache,
-            "cross_k": k_cross,
-            "cross_v": v_cross,
-        }
+            # cross K/V are computed once per utterance but READ every
+            # step — quantize them too (per (utt, head, enc-position)
+            # scales, same dequant ride as the self cache)
+            kf = k_cross.astype(jnp.float32)  # (B, H, Dh, S)
+            s_k = jnp.maximum(jnp.max(jnp.abs(kf), axis=2, keepdims=True),
+                              1e-6) / 127.0  # (B, H, 1, S)
+            cache["cross_k"] = jnp.clip(
+                jnp.round(kf / s_k), -127, 127).astype(jnp.int8)
+            cache["cross_k_scale"] = s_k
+            vf = v_cross.astype(jnp.float32)  # (B, H, S, Dh)
+            s_v = jnp.maximum(jnp.max(jnp.abs(vf), axis=3, keepdims=True),
+                              1e-6) / 127.0  # (B, H, S, 1)
+            cache["cross_v"] = jnp.clip(
+                jnp.round(vf / s_v), -127, 127).astype(jnp.int8)
+            cache["cross_v_scale"] = jnp.swapaxes(s_v, 2, 3)  # (B, H, 1, S)
+        return cache
 
     def step(self, x, cache, cross_bias=None, beam: int = 1, anc=None):
         h = self.norm1(x) if self.normalize_before else x
@@ -567,18 +612,22 @@ class DecoderLayer(nn.Module):
             h, self_cache = self.self_attn.step(
                 h, cache["self"], fused_update=beam > 1
             )
+        cross_scales = None
+        if "cross_k_scale" in cache:  # int8 cross cache
+            cross_scales = (cache["cross_k_scale"], cache["cross_v_scale"])
         if self.normalize_before:
             x = x + h
             h = self.cross_attn.step_cross(
                 self.norm2(x), cache["cross_k"], cache["cross_v"],
-                cross_bias, beam,
+                cross_bias, beam, cross_scales,
             )
             x = x + h
             x = x + self.ffn(self.norm3(x), deterministic=True)
         else:
             x = self.norm1(x + h)
             h = self.cross_attn.step_cross(
-                x, cache["cross_k"], cache["cross_v"], cross_bias, beam
+                x, cache["cross_k"], cache["cross_v"], cross_bias, beam,
+                cross_scales,
             )
             x = self.norm2(x + h)
             x = self.norm3(x + self.ffn(x, deterministic=True))

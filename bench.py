@@ -18,7 +18,12 @@ Two phases:
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (random
 phase; vs_baseline = RTFx / 20, the north-star target) plus trained_*
-fields for phase 2.
+fields for phase 2. The decode KV cache defaults to int8 (the
+recommended full-budget serving config — docs/PERF.md round 3);
+STAC_KV_INT8=0 restores bf16. Each phase also reports a
+*_device_throughput field measured as N iterations scanned inside one
+compiled program: the per-chip identity without this dev tunnel's
+~28 ms/call dispatch round trip (which dominates short trained decodes).
 """
 
 import json
@@ -117,9 +122,11 @@ def main():
         using_eos_threshold=True, length_normalization=True,
         temperature=1.15,
         **({"cache_growth": int(growth)} if growth else {}),
-        # STAC_KV_INT8=1: int8-quantized decode KV cache (opt-in)
-        **({"kv_cache_dtype": "int8"}
-           if os.environ.get("STAC_KV_INT8") == "1" else {}),
+        # int8-quantized decode KV cache: the recommended full-budget
+        # serving config (docs/PERF.md round 3, +14% at these shapes;
+        # hyp-equality parity-tested). STAC_KV_INT8=0 restores bf16.
+        **({} if os.environ.get("STAC_KV_INT8") == "0"
+           else {"kv_cache_dtype": "int8"}),
     )
     searcher.bind(tr_params, seq_params)
     searcher.set_decoder_prefix_tokens(3, 4)
@@ -131,15 +138,27 @@ def main():
 
     # warmup / compile
     run()
-    # timed
+    # timed, dispatch-inclusive (round-1/2 methodology: two host round
+    # trips per iteration — encode call + search call). This stays the
+    # headline "value" so rounds compare like-for-like.
     n_iters = 3
     t0 = time.perf_counter()
     for _ in range(n_iters):
         run()
     elapsed = time.perf_counter() - t0
+    rtfx = BATCH * SECONDS * n_iters / elapsed
 
-    audio_seconds = BATCH * SECONDS * n_iters
-    rtfx = audio_seconds / elapsed
+    # device throughput: N iterations of encode+search inside ONE
+    # compiled program — the per-chip identity a production TPU host
+    # sees. The axon dev tunnel charges ~28 ms per call round trip
+    # (measured, docs/PERF.md round 3), which dominates SHORT decodes
+    # (trained, early-exiting) and is an environment artifact, not
+    # framework or chip time; at the full budget it is ~13% of the
+    # program, so the two numbers are close there.
+    rtfx_device = _scanned_rtfx(
+        searcher, fbank, cnn, transformer, cnn_params, tr_params, cmvn,
+        wavs, wav_lens, BATCH, SECONDS, n_iters=5,
+    )
 
     # ---- phase 2: brief on-chip training so eos/early-exit bind ----------
     trained = {}
@@ -158,8 +177,49 @@ def main():
         "value": round(rtfx, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtfx / 20.0, 3),
+        "rtfx_device_throughput": round(rtfx_device, 2),
         **trained,
     }))
+
+
+def _scanned_rtfx(searcher, fbank, cnn, transformer, cnn_params, tr_params,
+                  cmvn, wavs, wav_lens, batch, seconds, n_iters):
+    """RTFx with n_iters of (fbank→CMVN→CNN→encode→beam search) in ONE
+    compiled program (lax.scan): a single dispatch + host transfer for
+    the whole measurement, so the tunnel's per-call latency amortizes to
+    <2%. A per-iteration input perturbation defeats loop-invariant
+    hoisting (XLA lifts an invariant scan body out of the loop — the
+    trap tools/exp_int8_cache.py documents)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stac_st_tpu.ops.cmvn import cmvn_apply
+
+    prompt = jnp.asarray(searcher.decoder_input_tokens, jnp.int32)
+
+    @jax.jit
+    def scanned(cnn_p, tr_p, cmvn_state, wavs, wav_lens):
+        def body(carry, i):
+            w = wavs + i.astype(jnp.float32) * 1e-7
+            feats = cmvn_apply(cmvn_state, fbank(w))
+            src = cnn.apply(cnn_p, feats.astype(jnp.bfloat16))
+            enc = transformer.apply(
+                tr_p, src, wav_lens, method=transformer.encode
+            )
+            _tok, _len, scores, _set = searcher.search_arrays(
+                enc, wav_lens, prompt=prompt
+            )
+            return carry + scores.sum(), None
+
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), jnp.arange(n_iters))
+        return total
+
+    np.asarray(scanned(cnn_params, tr_params, cmvn, wavs, wav_lens))
+    t0 = time.perf_counter()
+    np.asarray(scanned(cnn_params, tr_params, cmvn, wavs, wav_lens))
+    elapsed = time.perf_counter() - t0
+    return batch * seconds * n_iters / elapsed
 
 
 def _trained_phase(fbank, cnn, transformer, seq_lin, cnn_params, tr_params,
@@ -232,8 +292,18 @@ def _trained_phase(fbank, cnn, transformer, seq_lin, cnn_params, tr_params,
     elapsed = time.perf_counter() - t0
     rtfx = batch * seconds * n_iters / elapsed
     lens = [len(h) for h in hyps]
+
+    # trained decodes early-exit in tens of ms — through this tunnel the
+    # dispatch-inclusive number is mostly the 28 ms/call round trip, so
+    # the scanned device-throughput identity is the meaningful one here
+    rtfx_device = _scanned_rtfx(
+        searcher, fbank, cnn, transformer, cnn_b, tr_b, cmvn,
+        wavs, wav_lens, batch, seconds,
+        n_iters=20,  # short decodes: amortize the single dispatch harder
+    )
     return {
         "trained_rtfx_cap192": round(rtfx, 2),
+        "trained_rtfx_device_throughput": round(rtfx_device, 2),
         "trained_steps": steps,
         "trained_loss": round(final_loss, 3),
         "trained_hyp_len_mean": round(float(np.mean(lens)), 1),

@@ -13,10 +13,14 @@ Re-owns the reference's tokenizer pipeline
 * saves ``{model_dir}/{vocab_size}_{model_type}.model`` (+ ``.vocab``) in
   real SentencePiece wire format (see :mod:`..tokenizer.spm_model`).
 
-Training algorithm: classic BPE over word-frequency counts (words carry the
-``▁`` space marker), final pieces sorted by frequency with scores ``-index``
-— the same score convention real SentencePiece BPE models use, so encoding
-behaves identically whether a model came from here or from the C++ trainer.
+Training algorithm: the SentencePiece C++ BPE trainer's own
+(:mod:`.spm_bpe` ports ``bpe_model_trainer.cc``): pieces are emitted in
+MERGE ORDER with scores ``-emission_index`` (selection ties broken by
+shorter-then-lexicographic merged string), required characters appended
+after the merges sorted by frequency — so both the piece/score layout and
+the encode behavior match what ``spm_train`` would produce on the same
+corpus. Byte-level certification needs the C++ binary and runs on-site via
+``tools/verify_tokenizer.py`` (no sentencepiece wheel in this image).
 
 Note: the reference yaml expands ``user_defined_symbols`` to
 ``"[es],[en],[turn],[xt],[es],[en]"`` (duplicated languages); real
@@ -33,6 +37,7 @@ from collections import Counter
 from typing import Dict, Iterable, List, Optional, Tuple
 
 from .bpe import SPACE, normalize_text
+from .spm_bpe import SpmBpeMergeEngine
 from .spm_model import (
     PIECE_CONTROL,
     PIECE_NORMAL,
@@ -88,75 +93,50 @@ def train_bpe(
 
     word_freq = _iter_words(lines, user_defined)
 
-    # --- character alphabet with coverage ---
+    # --- required characters with coverage (TrainerInterface semantics:
+    # chars sorted by freq desc / code point asc; stop BEFORE adding once
+    # accumulated coverage reaches the target — coverage 1.0 keeps all) ---
     char_freq: Counter = Counter()
     for word, freq in word_freq.items():
         for ch in word:
             char_freq[ch] += freq
     total_chars = sum(char_freq.values()) or 1
-    covered: List[str] = []
+    required_chars: List[Tuple[str, int]] = []  # (char, freq), spm order
     running = 0
-    for ch, freq in char_freq.most_common():
-        covered.append(ch)
-        running += freq
-        if running / total_chars >= character_coverage and len(covered) > 1:
+    for ch, freq in sorted(char_freq.items(), key=lambda kv: (-kv[1], kv[0])):
+        if running / total_chars >= character_coverage and required_chars:
             break
-    alphabet = set(covered)
+        required_chars.append((ch, freq))
+        running += freq
+    alphabet = {ch for ch, _ in required_chars}
     if SPACE not in alphabet:
         alphabet.add(SPACE)
+        required_chars.append((SPACE, char_freq.get(SPACE, 0)))
 
-    # words as tuples of in-alphabet symbols (OOV chars dropped from training)
-    words: Dict[Tuple[str, ...], int] = {}
+    # sentences: deduped words (insertion order) over in-alphabet chars
+    # (chars outside the coverage set are dropped from training)
+    words: Dict[str, int] = {}
     for word, freq in word_freq.items():
-        symbols = tuple(ch for ch in word if ch in alphabet)
-        if symbols:
-            words[symbols] = words.get(symbols, 0) + freq
+        filtered = "".join(ch for ch in word if ch in alphabet)
+        if filtered:
+            words[filtered] = words.get(filtered, 0) + freq
 
     n_specials = 3 + len(user_defined)  # unk/bos/eos + user symbols
-    n_mergeable = vocab_size - n_specials - len(alphabet)
+    # spm reserves the required chars up front: the merge budget is
+    # vocab_size - meta pieces - required chars (bpe_model_trainer Train())
+    n_mergeable = vocab_size - n_specials - len(required_chars)
     if n_mergeable < 0:
         raise ValueError(
             f"vocab_size={vocab_size} too small for alphabet "
-            f"({len(alphabet)}) + specials ({n_specials})"
+            f"({len(required_chars)}) + specials ({n_specials})"
         )
 
-    # --- merge loop ---
-    merged_freq: Counter = Counter()  # piece -> corpus frequency when created
-    for _ in range(n_mergeable):
-        pair_freq: Counter = Counter()
-        for symbols, freq in words.items():
-            for a, b in zip(symbols, symbols[1:]):
-                pair_freq[(a, b)] += freq
-        if not pair_freq:
-            break
-        # deterministic: max freq, ties by lexicographic pair
-        (a, b), freq = min(
-            pair_freq.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        if freq < 2:
-            break
-        new_sym = a + b
-        merged_freq[new_sym] = freq
-        new_words: Dict[Tuple[str, ...], int] = {}
-        for symbols, wfreq in words.items():
-            out: List[str] = []
-            i = 0
-            while i < len(symbols):
-                if (
-                    i + 1 < len(symbols)
-                    and symbols[i] == a
-                    and symbols[i + 1] == b
-                ):
-                    out.append(new_sym)
-                    i += 2
-                else:
-                    out.append(symbols[i])
-                    i += 1
-            key = tuple(out)
-            new_words[key] = new_words.get(key, 0) + wfreq
-        words = new_words
+    # --- spm-faithful merge loop (see spm_bpe.py for the fidelity notes) ---
+    engine = SpmBpeMergeEngine(words.items())
+    merges = engine.run(n_mergeable)
 
-    # --- assemble pieces: specials, then freq-sorted (chars + merges) ---
+    # --- assemble pieces: specials, merges in merge order, then required
+    # chars (freq desc / code point asc), scores = -emission_index ---
     pieces: List[Piece] = [
         Piece("<unk>", 0.0, PIECE_UNKNOWN),
         Piece("<s>", 0.0, PIECE_CONTROL),
@@ -165,13 +145,13 @@ def train_bpe(
     for sym in user_defined:
         pieces.append(Piece(sym, 0.0, PIECE_USER_DEFINED))
 
-    body: Counter = Counter()
-    for ch in alphabet:
-        body[ch] = char_freq.get(ch, 0)
-    body.update(merged_freq)
-    ordered = sorted(body.items(), key=lambda kv: (-kv[1], kv[0]))
-    for rank, (piece, _freq) in enumerate(ordered):
-        pieces.append(Piece(piece, float(-(rank + 1)), PIECE_NORMAL))
+    index = 0
+    for piece, _freq in merges:
+        pieces.append(Piece(piece, float(-index), PIECE_NORMAL))
+        index += 1
+    for ch, _freq in required_chars:
+        pieces.append(Piece(ch, float(-index), PIECE_NORMAL))
+        index += 1
 
     if unk_id != 0 or bos_id != 1 or eos_id != 2 or pad_id != -1:
         raise NotImplementedError(

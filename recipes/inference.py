@@ -88,15 +88,23 @@ def run_split(trainer, hparams, json_path: str) -> None:
                 turn_events[key].extend(events[key])
 
         src, tgt = batch.source_lang[0], batch.target_lang[0]
-        tasks = (
-            [("transcription", src, src), ("translation", src, tgt)]
-            if hparams.get("number_of_tasks", 2) >= 2
-            else [(batch.task[0], src,
-                   src if batch.task[0] == "transcription" else tgt)]
-        )
-        for task, s_lang, t_lang in tasks:
-            hyps = trainer._run_search(searcher, enc_out, dev["sig_len"],
-                                       s_lang, t_lang)[:n]
+        if hparams.get("number_of_tasks", 2) >= 2:
+            # encode once, decode BOTH prompts in one fused search
+            # (reference decodes twice sequentially, inference.py:100-129)
+            hyps_asr, hyps_st = trainer._run_search_dual(
+                searcher, enc_out, dev["sig_len"], src, tgt
+            )
+            decoded = [
+                ("transcription", src, src, hyps_asr),
+                ("translation", src, tgt, hyps_st),
+            ]
+        else:
+            task = batch.task[0]
+            t_lang = src if task == "transcription" else tgt
+            decoded = [(task, src, t_lang, trainer._run_search(
+                searcher, enc_out, dev["sig_len"], src, t_lang))]
+        for task, s_lang, t_lang, hyps in decoded:
+            hyps = hyps[:n]
             refs = (
                 batch.extras.get("translation_0")
                 if task == "translation"

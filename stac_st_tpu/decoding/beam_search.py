@@ -129,7 +129,9 @@ def beam_search(
       init_cache_fn: (params, enc_out_tiled (BB, S, d), max_len) -> cache.
       params: dynamic parameter pytree passed to both fns.
       enc_out: (B, S, d) encoder output.
-      prompt: (3,) int32 [bos, src_lang, tgt_lang] (any length ≥ 1).
+      prompt: (3,) int32 [bos, src_lang, tgt_lang] (any length ≥ 1), or
+        (B, L) int32 per-utterance prompts (the fused multi-prompt
+        decode tiles enc_out and varies the prompt per tile).
       max_steps: static decode-step budget.
       config: BeamSearchConfig (static).
       cache_gather_fn: (cache, flat_parent (BB,)) -> reordered cache.
@@ -164,7 +166,7 @@ def beam_search(
     # cross-attention K/V is beam-invariant: the cache keeps it per
     # utterance (B rows) and the decoder groups beams as query length;
     # only the self-attention caches live at B·beam rows.
-    prompt_len = prompt.shape[0]
+    prompt_len = prompt.shape[-1]
     # segmented cache growth: allocate the first (smallest) budget now;
     # later segments grow the cache and CONTINUE the same search (exact)
     segments = _plan_segments(
@@ -175,9 +177,16 @@ def beam_search(
     )
 
     # --- warmup: feed the prompt through the cache ---
+    # prompt may be (L,) — one prompt for every row — or (B, L) per-row
+    # prompts (beam copies of an utterance share its prompt): the basis
+    # for the fused multi-prompt (ASR+ST) decode, where the same encoder
+    # output is tiled and each tile gets a different language prompt.
     logits = None
     for p in range(prompt_len):
-        tok = jnp.full((BB,), prompt[p], jnp.int32)
+        if prompt.ndim == 2:
+            tok = jnp.repeat(prompt[:, p], beam, axis=0)
+        else:
+            tok = jnp.full((BB,), prompt[p], jnp.int32)
         logits, cache = decode_step_fn(
             params, tok, jnp.asarray(p, jnp.int32), cache
         )
@@ -735,14 +744,66 @@ class MultiTaskBeamSearch:
                 "call set_decoder_prefix_tokens(src, tgt) first "
                 "(reference initialize_beam_search, dataio_and_utils.py:234)"
             )
+        prompt = jnp.asarray(self.decoder_input_tokens, jnp.int32)
+        return self._search_with_prompt(
+            jnp.asarray(enc_out), wav_lens, prompt, ctc_log_probs
+        )
+
+    def call_multi(self, enc_out, wav_lens=None, prompts=None,
+                   ctc_log_probs=None):
+        """Fused multi-prompt search: decode the SAME encoder output under
+        P different language prompts in ONE beam-search program.
+
+        The reference's inference recipe runs the encoder once and decodes
+        twice — ASR ``[bos,src,src]`` then ST ``[bos,src,tgt]`` — as two
+        sequential searches over the same ``enc_out``
+        (``/root/reference/stac-st/inference.py:100-129``). Here the
+        encoder output is tiled P× on the batch axis and each tile gets
+        its own prompt row, so one decode loop serves all P outputs: the
+        per-step fixed cost (op dispatch, cache reads bounded by the
+        LONGEST output instead of per-task budgets) is amortized over P
+        hypothesis streams. Exact — each tile's rows never interact, so
+        results equal P independent searches.
+
+        Args:
+          enc_out: (B, S, d) encoder output (NOT tiled by the caller).
+          wav_lens: optional (B,) relative lengths.
+          prompts: sequence of P prompt token lists (same length each,
+            e.g. ``[[bos,src,src],[bos,src,tgt]]``).
+          ctc_log_probs: optional (B, T, V) CTC posteriors (joint decode).
+
+        Returns: list of P (hyps, scores) pairs, one per prompt, each in
+        ``__call__``'s format.
+        """
+        pr = jnp.asarray(list(prompts), jnp.int32)
+        if pr.ndim != 2:
+            raise ValueError("prompts must be a (P, L) token matrix")
+        P = pr.shape[0]
+        enc_out = jnp.asarray(enc_out)
+        B = enc_out.shape[0]
+        enc_t = jnp.concatenate([enc_out] * P, axis=0)
+        wl = (
+            None if wav_lens is None
+            else jnp.concatenate([jnp.asarray(wav_lens)] * P, axis=0)
+        )
+        ctc_t = (
+            None if ctc_log_probs is None
+            else jnp.concatenate([jnp.asarray(ctc_log_probs)] * P, axis=0)
+        )
+        prompt_rows = jnp.repeat(pr, B, axis=0)  # (P·B, L), tile-major
+        hyps, scores = self._search_with_prompt(enc_t, wl, prompt_rows, ctc_t)
+        return [
+            (hyps[i * B:(i + 1) * B], scores[i * B:(i + 1) * B])
+            for i in range(P)
+        ]
+
+    def _search_with_prompt(self, enc_out, wav_lens, prompt, ctc_log_probs):
         if self._decode_step_fn is None:
             raise RuntimeError("searcher not bound to parameters (bind())")
-        enc_out = jnp.asarray(enc_out)
         S = enc_out.shape[1]
         max_steps = max(int(self.config.max_decode_ratio * S), 1)
         if self.max_decode_tokens is not None:
             max_steps = min(max_steps, self.max_decode_tokens)
-        prompt = jnp.asarray(self.decoder_input_tokens, jnp.int32)
         enc_bias = None
         if self.mask_encoder_padding and wav_lens is not None:
             from ..ops import masks as M
@@ -754,6 +815,7 @@ class MultiTaskBeamSearch:
             ctc_lens = jnp.floor(
                 jnp.asarray(wav_lens) * ctc_log_probs.shape[1]
             ).astype(jnp.int32)
+
         def run(budget, bound_len=None):
             return beam_search(
                 self._decode_step_fn, self._init_cache_fn, self._params,

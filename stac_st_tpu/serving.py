@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import logging
 import math
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -178,6 +178,26 @@ class STEngine:
             return tokens, lengths, scores
 
         self._decode_fused = _decode_fused
+
+        @jax.jit
+        def _decode_dual_fused(params, cmvn, wavs, wav_lens, prompts):
+            """Encode ONCE, decode under BOTH prompts in one fused beam
+            search (2 rows per utterance via call_multi semantics): the
+            transcribe+translate request shape pays one program dispatch
+            and one encoder pass for two output streams."""
+            enc = _encode(params, cmvn, wavs, wav_lens)
+            rows = enc.shape[0]
+            enc2 = jnp.concatenate([enc, enc], axis=0)
+            wl2 = jnp.concatenate([wav_lens, wav_lens], axis=0)
+            prompt_rows = jnp.repeat(prompts, rows, axis=0)
+            sp = {"t": params["Transformer"], "s": params["seq_lin"],
+                  "lm": None}
+            tokens, lengths, scores, _ = searcher.search_arrays(
+                enc2, wl2, prompt=prompt_rows, params=sp
+            )
+            return tokens, lengths, scores
+
+        self._decode_dual_fused = _decode_dual_fused
 
         if ctc_lin is not None:
             @jax.jit
@@ -395,6 +415,49 @@ class STEngine:
                    source_lang: Optional[str] = None) -> List[str]:
         lang = source_lang or self.source_lang
         return self._decode(wavs, lang, lang)
+
+    def transcribe_and_translate(
+        self, wavs: Sequence[np.ndarray],
+        source_lang: Optional[str] = None,
+        target_lang: Optional[str] = None,
+    ) -> Tuple[List[str], List[str]]:
+        """Both task outputs per utterance from ONE encoder pass and ONE
+        fused dual-prompt beam search (the reference's inference recipe
+        semantics — ``stac-st/inference.py:100-129`` — as a single serving
+        call). Returns (transcriptions, translations).
+
+        Performance note (tools/exp_dual_decode.py, measured on chip):
+        fusion beats two sequential searches while the fused row count
+        (2 · batch · beam) stays overhead-bound (~80 rows at full decode
+        budget; +26% at batch 1) and costs ~10-25% beyond that — size
+        serving batches accordingly when using this endpoint under load."""
+        sp = self.tokenizer
+        src = source_lang or self.source_lang
+        tgt = target_lang or self.target_lang
+        src_id = sp.encode_as_ids(f"[{src}]")[-1]
+        tgt_id = sp.encode_as_ids(f"[{tgt}]")[-1]
+        bos = self.searcher.bos_token
+        prompts = jnp.asarray(
+            [[bos, src_id, src_id], [bos, src_id, tgt_id]], jnp.int32
+        )
+        asr: List[Optional[str]] = [None] * len(wavs)
+        st: List[Optional[str]] = [None] * len(wavs)
+        for idx, batch, lens in self._prepare(wavs):
+            tokens, lengths, _scores = self._decode_dual_fused(
+                self.params, self.cmvn, batch, lens, prompts
+            )
+            tokens = np.asarray(tokens)
+            lengths = np.asarray(lengths)
+            rows = len(lens)
+            for row, i in enumerate(idx):
+                asr[i] = sp.decode_ids(
+                    [int(t) for t in tokens[row, : lengths[row]]]
+                )
+                st[i] = sp.decode_ids(
+                    [int(t) for t in
+                     tokens[rows + row, : lengths[rows + row]]]
+                )
+        return asr, st  # type: ignore[return-value]
 
     def speaker_turns(self, wavs: Sequence[np.ndarray]) -> List[Dict]:
         """Per-input [turn]/[xt] events (seconds) from the CTC head."""

@@ -7,6 +7,9 @@ expose the engine's coalescing queue on a socket:
     POST /v1/translate       {"audio": [f32...] | "audio_b64": base64-f32le,
                               "source_lang": "es", "target_lang": "en"}
     POST /v1/transcribe      {"audio": ..., "source_lang": "es"}
+    POST /v1/transcribe_translate  {"audio": ..., "source_lang": "es",
+                              "target_lang": "en"} -> both streams from ONE
+                              encoder pass + fused dual-prompt search
     POST /v1/speaker_turns   {"audio": ...}
     GET  /healthz            {"status": "ok"}
     GET  /stats              coalescing counters from the front end
@@ -38,6 +41,7 @@ __all__ = ["STHttpServer", "serve_forever"]
 _ROUTES = {
     "/v1/translate": "translate",
     "/v1/transcribe": "transcribe",
+    "/v1/transcribe_translate": "transcribe_translate",
     "/v1/speaker_turns": "speaker_turns",
 }
 
@@ -108,6 +112,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply(504, {"error": "decode timed out"})
         if task == "speaker_turns":
             return self._reply(200, {"events": result})
+        if task == "transcribe_translate":
+            return self._reply(200, result)  # {transcription, translation}
         return self._reply(200, {"text": result})
 
 

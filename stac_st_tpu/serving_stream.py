@@ -36,7 +36,8 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["StreamingFrontEnd", "TurnStreamer"]
 
-_TASKS = ("translate", "transcribe", "speaker_turns")
+_TASKS = ("translate", "transcribe", "transcribe_translate",
+          "speaker_turns")
 
 
 @dataclass
@@ -187,6 +188,13 @@ class StreamingFrontEnd:
                         wavs, source_lang=src, target_lang=tgt)
                 elif task == "transcribe":
                     results = self.engine.transcribe(wavs, source_lang=src)
+                elif task == "transcribe_translate":
+                    asr, st = self.engine.transcribe_and_translate(
+                        wavs, source_lang=src, target_lang=tgt)
+                    results = [
+                        {"transcription": a, "translation": s}
+                        for a, s in zip(asr, st)
+                    ]
                 else:
                     results = self.engine.speaker_turns(wavs)
                 with self._lock:

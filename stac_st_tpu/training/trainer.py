@@ -427,6 +427,39 @@ class STTrainer:
         hyps, _scores = searcher(enc_out, wav_lens)
         return hyps
 
+    # Fused dual decode wins while the decode step is overhead-bound and
+    # loses once it is HBM-bound. Measured on the real chip at full budget
+    # (tools/exp_dual_decode.py, beam 10, int8 cache): B1 +26%, B4 +8%,
+    # B8 -26%, B16 -10% -> fuse while total fused rows (2·B·beam) <= 80.
+    DUAL_FUSE_MAX_ROWS = 80
+
+    def _run_search_dual(self, searcher, enc_out, wav_lens,
+                         src: str, tgt: str):
+        """ASR + ST hypotheses off one encoder output; decodes BOTH prompts
+        in ONE fused search (``call_multi``) when the fused row count is
+        small enough to profit (see DUAL_FUSE_MAX_ROWS), else two
+        sequential searches over the shared ``enc_out``. Exact either way
+        (parity-tested), so the switch is purely a performance choice. The
+        reference always decodes twice (``inference.py:100-129``).
+        hparam/run_opt ``fused_dual_decode``: True forces fusion, False
+        disables it, unset/'auto' applies the measured threshold."""
+        mode = self.hparams.get("fused_dual_decode", "auto")
+        rows = 2 * int(enc_out.shape[0]) * searcher.config.beam_size
+        fuse = (rows <= self.DUAL_FUSE_MAX_ROWS) if mode == "auto" \
+            else bool(mode)
+        if not fuse:
+            return (
+                self._run_search(searcher, enc_out, wav_lens, src, src),
+                self._run_search(searcher, enc_out, wav_lens, src, tgt),
+            )
+        s_id, t_id = self._lang_id(src), self._lang_id(tgt)
+        bos = searcher.bos_token
+        (asr, _), (st, _) = searcher.call_multi(
+            enc_out, wav_lens,
+            prompts=[[bos, s_id, s_id], [bos, s_id, t_id]],
+        )
+        return asr, st
+
     def _validate(self, valid_set: BatchLoader, epoch: int) -> Dict[str, Any]:
         h = self.hparams
         acc = h["acc_computer"]() if "acc_computer" in h else None
@@ -464,10 +497,7 @@ class STTrainer:
                 src = batch.source_lang[0]
                 tgt = batch.target_lang[0]
                 wav_lens = dev_batch["sig_len"]
-                hyps_asr = self._run_search(
-                    h["valid_search"], enc_out, wav_lens, src, src
-                )
-                hyps_st = self._run_search(
+                hyps_asr, hyps_st = self._run_search_dual(
                     h["valid_search"], enc_out, wav_lens, src, tgt
                 )
                 self._append_dual_metrics(

@@ -437,3 +437,71 @@ class TestInt8KVCache:
     def test_rejects_unknown_dtype(self, setup):
         with pytest.raises(ValueError):
             setup["make_searcher"](kv_cache_dtype="fp8")
+
+
+class TestFusedMultiPrompt:
+    """call_multi: P prompts decoded in ONE program == P separate searches."""
+
+    def test_dual_matches_two_searches(self, setup):
+        enc = _random_enc(setup, 3, 12)
+        s = setup["make_searcher"](beam_size=3, min_decode_ratio=0.2)
+        s.set_decoder_prefix_tokens(5, 5)
+        hyps_asr, sc_asr = s(enc)
+        s.set_decoder_prefix_tokens(5, 9)
+        hyps_st, sc_st = s(enc)
+        (f_asr, f_sc_asr), (f_st, f_sc_st) = s.call_multi(
+            enc, prompts=[[1, 5, 5], [1, 5, 9]]
+        )
+        assert f_asr == hyps_asr
+        assert f_st == hyps_st
+        np.testing.assert_allclose(f_sc_asr, sc_asr, rtol=1e-5)
+        np.testing.assert_allclose(f_sc_st, sc_st, rtol=1e-5)
+
+    def test_dual_with_padding_mask_and_lens(self, setup):
+        enc = _random_enc(setup, 2, 10)
+        lens = jnp.asarray([0.7, 1.0])
+        s = setup["make_searcher"](beam_size=3, mask_encoder_padding=True)
+        s.set_decoder_prefix_tokens(4, 4)
+        h_a, _ = s(enc, lens)
+        s.set_decoder_prefix_tokens(4, 8)
+        h_b, _ = s(enc, lens)
+        (f_a, _), (f_b, _) = s.call_multi(
+            enc, lens, prompts=[[1, 4, 4], [1, 4, 8]]
+        )
+        assert f_a == h_a
+        assert f_b == h_b
+
+    def test_triple_prompt(self, setup):
+        """P is not limited to 2 (e.g. one ASR + two target languages)."""
+        enc = _random_enc(setup, 2, 10)
+        s = setup["make_searcher"](beam_size=2)
+        prompts = [[1, 5, 5], [1, 5, 9], [1, 5, 11]]
+        fused = s.call_multi(enc, prompts=prompts)
+        assert len(fused) == 3
+        for prompt, (hyps, scores) in zip(prompts, fused):
+            s.set_decoder_prefix_tokens(prompt[1], prompt[2])
+            ref_hyps, ref_scores = s(enc)
+            assert hyps == ref_hyps
+            np.testing.assert_allclose(scores, ref_scores, rtol=1e-5)
+
+    def test_fused_with_int8_and_growth(self, setup):
+        """The fused path composes with the production cache options."""
+        enc = _random_enc(setup, 2, 24)
+        s = setup["make_searcher"](beam_size=3, kv_cache_dtype="int8",
+                                   cache_growth=8)
+        s.set_decoder_prefix_tokens(5, 5)
+        h_a, _ = s(enc)
+        s.set_decoder_prefix_tokens(5, 9)
+        h_b, _ = s(enc)
+        (f_a, _), (f_b, _) = s.call_multi(
+            enc, prompts=[[1, 5, 5], [1, 5, 9]]
+        )
+        assert f_a == h_a
+        assert f_b == h_b
+
+    def test_rejects_ragged_prompts(self, setup):
+        s = setup["make_searcher"](beam_size=2)
+        with pytest.raises(ValueError):
+            s.call_multi(
+                _random_enc(setup, 1, 8), prompts=[[1, 5, 5], [1, 5]]
+            )

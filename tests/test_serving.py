@@ -105,6 +105,19 @@ class TestSTEngine:
         assert len(events) == 1
         assert set(events[0]) == {"turn", "xt"}
 
+    def test_transcribe_and_translate_matches_separate_calls(
+            self, engine, rng):
+        """The fused dual-prompt path must reproduce the two independent
+        task calls exactly (call_multi exactness at the engine level)."""
+        wavs = [
+            rng.standard_normal(int(0.3 * 16000)).astype(np.float32),
+            rng.standard_normal(int(0.8 * 16000)).astype(np.float32),
+            rng.standard_normal(int(0.4 * 16000)).astype(np.float32),
+        ]
+        asr, st = engine.transcribe_and_translate(wavs)
+        assert asr == engine.transcribe(wavs)
+        assert st == engine.translate(wavs)
+
 
 class TestFromSavedExperiment:
     def test_reload_from_saved_config(self, tmp_path, rng):

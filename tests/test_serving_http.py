@@ -105,6 +105,14 @@ class TestHttpApi:
         assert code == 200
         assert body["text"] == engine.transcribe([wav])[0]
 
+    def test_transcribe_translate_route(self, server, engine, rng):
+        wav = rng.standard_normal(int(0.3 * 16000)).astype(np.float32)
+        code, body = _post(server, "/v1/transcribe_translate", {
+            "audio": wav.tolist()})
+        assert code == 200
+        asr, st = engine.transcribe_and_translate([wav])
+        assert body == {"transcription": asr[0], "translation": st[0]}
+
     def test_speaker_turns(self, server, engine, rng):
         wav = rng.standard_normal(8000).astype(np.float32)
         code, body = _post(server, "/v1/speaker_turns", {

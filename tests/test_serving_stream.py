@@ -106,6 +106,16 @@ class TestStreamingFrontEnd:
         assert turns == engine.speaker_turns([wavs[2]])[0]
         assert front.stats()["engine_calls"] == 3
 
+    def test_transcribe_translate_task(self, engine, wavs):
+        with StreamingFrontEnd(engine, max_batch=8, max_wait_ms=50) as front:
+            futs = [front.submit(w, task="transcribe_translate")
+                    for w in wavs[:2]]
+            got = [f.result(timeout=120) for f in futs]
+        asr, st = engine.transcribe_and_translate(wavs[:2])
+        assert got == [
+            {"transcription": a, "translation": s} for a, s in zip(asr, st)
+        ]
+
     def test_submissions_from_many_threads(self, engine, wavs):
         with StreamingFrontEnd(engine, max_batch=4, max_wait_ms=20) as front:
             results = [None] * len(wavs)

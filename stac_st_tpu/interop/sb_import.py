@@ -250,18 +250,40 @@ def load_sb_experiment(ckpt_dir: str) -> Dict[str, Any]:
 
 
 def save_imported(params: Dict[str, Any], out_dir: str,
-                  cmvn: Optional[Any] = None) -> None:
-    """Write imported params in the framework's msgpack checkpoint format
-    (compatible with training/checkpoint.py loaders)."""
+                  cmvn: Optional[Any] = None,
+                  source: Optional[str] = None) -> str:
+    """Write imported params as a FIRST-CLASS framework checkpoint.
+
+    Creates ``<out_dir>/CKPT+imported/`` holding ``model.msgpack``
+    (+ ``normalizer.msgpack``) and ``meta.json`` — the exact layout
+    ``training/checkpoint.py`` saves and everything downstream loads, so
+    pointing ``pretrained_path`` at a directory whose ``save/`` contains
+    this checkpoint makes ``recipes/inference.py`` and
+    ``STEngine.from_experiment`` consume reference weights with NO extra
+    wiring (the parity-certification path, docs/PARITY_RUNBOOK.md).
+
+    Returns the checkpoint directory path.
+    """
+    import json as _json
+
     from flax import serialization
 
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "params.msgpack"), "wb") as f:
+    ckpt_dir = os.path.join(out_dir, "CKPT+imported")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with open(os.path.join(ckpt_dir, "model.msgpack"), "wb") as f:
         f.write(serialization.msgpack_serialize(
             serialization.to_state_dict(params)
         ))
     if cmvn is not None:
-        with open(os.path.join(out_dir, "cmvn.msgpack"), "wb") as f:
+        with open(os.path.join(ckpt_dir, "normalizer.msgpack"), "wb") as f:
             f.write(serialization.msgpack_serialize(
                 serialization.to_state_dict(cmvn)
             ))
+    meta = {"imported_from": source or "speechbrain", "ACC": 1.1,
+            "unixtime": 0.0}
+    # ACC 1.1 mirrors the reference's collapse-to-averaged trick
+    # (train_multitask.py:450-458): an imported checkpoint always wins
+    # top-k selection, so averaging over the kept set returns it alone.
+    with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+        _json.dump(meta, f, indent=2)
+    return ckpt_dir

@@ -168,3 +168,33 @@ def test_unmapped_parameter_raises(imported):
     sd["1.encoder.layers.0.bogus.weight"] = torch.zeros(3, 3)
     with pytest.raises(ValueError, match="unmapped"):
         import_model_state_dict(sd)
+
+
+def test_save_imported_is_first_class_checkpoint(imported, tmp_path):
+    """save_imported must emit the framework's CKPT layout (model.msgpack
+    + normalizer.msgpack + meta.json) so recipes/inference.py and
+    STEngine.from_experiment consume reference weights with no extra
+    wiring (the on-site parity runbook path)."""
+    import jax
+    import numpy as np
+
+    from stac_st_tpu.interop.sb_import import save_imported
+    from stac_st_tpu.ops.cmvn import cmvn_init
+    from stac_st_tpu.training.checkpoint import Checkpointer
+
+    model, params = imported
+    save_dir = str(tmp_path / "save")
+    ckpt_path = save_imported(
+        params, save_dir, cmvn=cmvn_init(N_MELS), source="oracle"
+    )
+    ckpts = Checkpointer(save_dir).list_checkpoints()
+    assert len(ckpts) == 1 and ckpts[0].path == ckpt_path
+    assert ckpts[0].meta["ACC"] == 1.1  # wins any top-k selection
+    assert set(ckpts[0].names()) == {"model", "normalizer"}
+
+    restored = ckpts[0].load("model")
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(restored)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

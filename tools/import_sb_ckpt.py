@@ -8,7 +8,11 @@ Usage:
 <sb_ckpt_dir> is an SB Checkpointer save directory containing ``model.ckpt``
 (state_dict of ModuleList[CNN, Transformer, seq_lin, ctc_lin] —
 ref train_multitask.py:460-471) and optionally ``normalizer.ckpt``.
-Writes ``params.msgpack`` (+ ``cmvn.msgpack``) under <out_dir>.
+Writes a first-class framework checkpoint ``<out_dir>/CKPT+imported/``
+(model.msgpack + normalizer.msgpack + meta.json) that
+``recipes/inference.py`` and ``STEngine.from_experiment`` load directly —
+point ``--pretrained_path`` at the directory whose ``save/`` holds it
+(see docs/PARITY_RUNBOOK.md).
 """
 
 import argparse
@@ -26,11 +30,14 @@ def main() -> int:
     args = ap.parse_args()
 
     loaded = load_sb_experiment(args.ckpt_dir)
-    save_imported(loaded["params"], args.out_dir, cmvn=loaded["cmvn"])
+    ckpt = save_imported(
+        loaded["params"], args.out_dir, cmvn=loaded["cmvn"],
+        source=args.ckpt_dir,
+    )
     n = sum(
         x.size for x in _leaves(loaded["params"])
     )
-    print(f"imported {n:,} parameters -> {args.out_dir}")
+    print(f"imported {n:,} parameters -> {ckpt}")
     return 0
 
 

@@ -110,6 +110,13 @@ class _Servicer:
         return pb.TextResponse(
             text=self._decode("transcribe", request, context))
 
+    def TranscribeTranslate(self, request, context):  # noqa: N802
+        both = self._decode("transcribe_translate", request, context)
+        return pb.DualTextResponse(
+            transcription=both["transcription"],
+            translation=both["translation"],
+        )
+
     def SpeakerTurns(self, request, context):  # noqa: N802
         events = self._decode("speaker_turns", request, context)
         return pb.TurnEvents(turn=events["turn"], xt=events["xt"])
@@ -156,6 +163,10 @@ def _handlers(servicer: _Servicer):
             servicer.Transcribe,
             request_deserializer=pb.DecodeRequest.FromString,
             response_serializer=pb.TextResponse.SerializeToString),
+        "TranscribeTranslate": u(
+            servicer.TranscribeTranslate,
+            request_deserializer=pb.DecodeRequest.FromString,
+            response_serializer=pb.DualTextResponse.SerializeToString),
         "SpeakerTurns": u(
             servicer.SpeakerTurns,
             request_deserializer=pb.DecodeRequest.FromString,
@@ -260,6 +271,10 @@ class STGrpcClient:
             pfx + "Transcribe",
             request_serializer=pb.DecodeRequest.SerializeToString,
             response_deserializer=pb.TextResponse.FromString)
+        self._transcribe_translate = uu(
+            pfx + "TranscribeTranslate",
+            request_serializer=pb.DecodeRequest.SerializeToString,
+            response_deserializer=pb.DualTextResponse.FromString)
         self._speaker_turns = uu(
             pfx + "SpeakerTurns",
             request_serializer=pb.DecodeRequest.SerializeToString,
@@ -296,6 +311,14 @@ class STGrpcClient:
     def transcribe(self, wav, source_lang=None, timeout=None) -> str:
         return self._transcribe(
             self._request(wav, source_lang), timeout=timeout).text
+
+    def transcribe_translate(self, wav, source_lang=None, target_lang=None,
+                             timeout=None) -> dict:
+        """Both task outputs from one fused dual-prompt decode."""
+        r = self._transcribe_translate(
+            self._request(wav, source_lang, target_lang), timeout=timeout
+        )
+        return {"transcription": r.transcription, "translation": r.translation}
 
     def speaker_turns(self, wav, timeout=None) -> dict:
         ev = self._speaker_turns(self._request(wav), timeout=timeout)

@@ -95,6 +95,12 @@ class TestGrpcApi:
             assert c.transcribe(wav, timeout=180) == (
                 engine.transcribe([wav])[0])
 
+    def test_transcribe_translate(self, client, engine, rng):
+        wav = rng.standard_normal(int(0.3 * 16000)).astype(np.float32)
+        got = client.transcribe_translate(wav, timeout=180)
+        asr, st = engine.transcribe_and_translate([wav])
+        assert got == {"transcription": asr[0], "translation": st[0]}
+
     def test_speaker_turns(self, client, engine, rng):
         wav = rng.standard_normal(8000).astype(np.float32)
         assert client.speaker_turns(wav, timeout=180) == (

@@ -58,10 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "engine default)")
     # front-end knobs
     p.add_argument("--max-batch", type=int, default=16)
-    p.add_argument("--pad-batch", type=int, default=None,
-                   help="pad engine batches to a multiple of this row "
-                        "count so any coalesced batch size hits a "
-                        "pre-compiled shape (default: --max-batch)")
+    p.add_argument("--pad-batch", type=str, default=None,
+                   help="pad engine batches so any coalesced batch size "
+                        "hits a pre-compiled shape. One int = round up to "
+                        "a multiple; a comma ladder like '4,16' = pad to "
+                        "the smallest rung >= the formed batch (light-load "
+                        "batches stop paying max-batch compute — tail-"
+                        "latency lever, one compile per rung). Default: "
+                        "--max-batch")
     p.add_argument("--kv-cache-dtype", choices=("int8",), default=None,
                    help="quantize the decode self-attention KV cache "
                         "(halves its per-step HBM reads; docs/PERF.md)")
@@ -69,6 +73,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--request-timeout", type=float, default=300.0)
     p.add_argument("--log-level", default="INFO")
     return p
+
+
+def _parse_pad_batch(spec: str):
+    """'16' -> 16 (round-up multiple); '4,16' -> (4, 16) ladder."""
+    parts = [int(s) for s in str(spec).split(",") if s.strip()]
+    if not parts:
+        raise ValueError(f"--pad-batch: no row counts in {spec!r}")
+    return parts[0] if len(parts) == 1 else tuple(parts)
 
 
 def start_servers(args):
@@ -91,8 +103,8 @@ def start_servers(args):
             float(s) for s in args.buckets.split(",") if s.strip()
         ),
         bf16=not args.no_bf16,
-        pad_batch_rows=(args.pad_batch if args.pad_batch is not None
-                        else args.max_batch),
+        pad_batch_rows=(_parse_pad_batch(args.pad_batch)
+                        if args.pad_batch is not None else args.max_batch),
         kv_cache_dtype=args.kv_cache_dtype,
     )
     if args.data_parallel not in (0, 1):

@@ -80,16 +80,29 @@ class STEngine:
         self.tokenizer = tokenizer
         self.sample_rate = int(sample_rate)
         self.buckets = tuple(sorted(bucket_seconds))
-        # static row-batching: pad every engine call's row count up to a
-        # multiple of this, so coalesced batches of ANY size hit one
-        # pre-compiled (width, rows) shape instead of compiling per formed
-        # batch size — a serving front end forms 1..max_batch-row batches,
-        # and each distinct row count would otherwise be a fresh XLA
-        # compile at request time (docs/PERF.md round 3). Padded rows are
-        # full-length silence and are dropped on output.
-        self.pad_batch_rows = (
-            int(pad_batch_rows) if pad_batch_rows else None
-        )
+        # static row-batching: pad every engine call's row count so
+        # coalesced batches of ANY size hit a pre-compiled (width, rows)
+        # shape instead of compiling per formed batch size — a serving
+        # front end forms 1..max_batch-row batches, and each distinct row
+        # count would otherwise be a fresh XLA compile at request time
+        # (docs/PERF.md round 3). Padded rows are full-length silence and
+        # are dropped on output.
+        #   int:      round UP to a multiple (one compiled row shape);
+        #   sequence: a LADDER, e.g. (4, 16) — pad to the smallest rung
+        #             >= the formed batch, so light-load batches stop
+        #             paying the full max-batch compute (tail-latency
+        #             lever; rows beyond the top rung round up to a
+        #             multiple of it). One compile per rung.
+        if pad_batch_rows and not isinstance(pad_batch_rows, int):
+            self.pad_batch_rows = tuple(
+                sorted(int(r) for r in pad_batch_rows)
+            )
+            if not self.pad_batch_rows or min(self.pad_batch_rows) < 1:
+                raise ValueError("pad_batch_rows ladder must be >= 1")
+        else:
+            self.pad_batch_rows = (
+                int(pad_batch_rows) if pad_batch_rows else None
+            )
         # host->device audio transfer dtype. "int16": requests are packed
         # as PCM16 (audio is 16-bit at origin anyway) and converted to
         # float on device — halves per-request H2D bytes, the dominant
@@ -352,7 +365,13 @@ class STEngine:
         groups = []
         for width, idx in sorted(by_width.items()):
             rows = len(idx)
-            if self.pad_batch_rows:
+            if isinstance(self.pad_batch_rows, tuple):
+                top = self.pad_batch_rows[-1]
+                if rows > top:
+                    rows = rows + (-rows) % top
+                else:
+                    rows = next(r for r in self.pad_batch_rows if r >= rows)
+            elif self.pad_batch_rows:
                 rows = rows + (-rows) % self.pad_batch_rows
             if self.mesh is not None:
                 d = int(self.mesh.shape["data"])

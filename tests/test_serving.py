@@ -119,6 +119,35 @@ class TestSTEngine:
         assert st == engine.translate(wavs)
 
 
+class TestPadBatchLadder:
+    def test_ladder_picks_smallest_rung(self, parts, rng):
+        engine = _build_engine(parts, pad_batch_rows=(2, 8))
+        wavs = [rng.standard_normal(3000).astype(np.float32)
+                for _ in range(3)]
+        (idx, batch, lens), = engine._prepare(wavs)
+        assert batch.shape[0] == 8  # 3 rows -> next rung up
+        one = engine._prepare(wavs[:1])
+        assert one[0][1].shape[0] == 2  # 1 row -> bottom rung
+
+    def test_ladder_rounds_past_top_rung(self, parts, rng):
+        engine = _build_engine(parts, pad_batch_rows=(2, 4))
+        wavs = [rng.standard_normal(3000).astype(np.float32)
+                for _ in range(6)]
+        (idx, batch, lens), = engine._prepare(wavs)
+        assert batch.shape[0] == 8  # > top rung: multiple of 4
+
+    def test_ladder_results_match_int_padding(self, parts, rng):
+        a = _build_engine(parts, pad_batch_rows=(2, 8))
+        b = _build_engine(parts, pad_batch_rows=8)
+        wavs = [rng.standard_normal(3000).astype(np.float32)
+                for _ in range(3)]
+        assert a.translate(wavs) == b.translate(wavs)
+
+    def test_rejects_bad_ladder(self, parts):
+        with pytest.raises(ValueError):
+            _build_engine(parts, pad_batch_rows=(0, 8))
+
+
 class TestFromSavedExperiment:
     def test_reload_from_saved_config(self, tmp_path, rng):
         """from_saved_experiment rebuilds modules from the experiment's own

@@ -313,6 +313,10 @@ class TestMeshServing:
         turns_m = meshed.speaker_turns(wavs)
         turns_p = plain.speaker_turns(wavs)
         assert turns_m == turns_p
+        # fused dual decode under the mesh: rows tile 2x on the sharded
+        # batch axis; GSPMD must propagate the sharding through concat
+        dual_m = meshed.transcribe_and_translate(wavs)
+        assert dual_m == (asr_p, st_p)
 
 
 class TestPcm16Transfer:

@@ -136,15 +136,20 @@ def _build_trained_engine():
     eng_params = {"CNN": cnn_p, "Transformer": tr_p, "seq_lin": seq_p,
                   "ctc_lin": ctc_p}
     max_batch = int(os.environ.get("STAC_SERVE_MAXBATCH", "16"))
+    # STAC_SERVE_PADBATCH: "16" = round up to one shape (default);
+    # "4,16" = row ladder (light batches pad to the smaller rung)
+    pad_spec = os.environ.get("STAC_SERVE_PADBATCH", str(max_batch))
+    rungs = [int(s) for s in pad_spec.split(",") if s.strip()]
     engine = STEngine(
         transformer, cnn, seq_lin, ctc_lin, eng_params, cmvn_init(80),
         _IdTokenizer(), beam_size=10, max_decode_tokens=192, bf16=True,
         bucket_seconds=DURATIONS,
-        # static row-batching: every coalesced batch hits the one
-        # pre-compiled (width, max_batch) shape (no request-time compiles)
-        pad_batch_rows=max_batch,
+        # static row-batching: every coalesced batch hits a pre-compiled
+        # (width, rung) shape (no request-time compiles)
+        pad_batch_rows=rungs[0] if len(rungs) == 1 else tuple(rungs),
         transfer_dtype="int16",
     )
+    engine._pad_rungs = rungs  # for per-rung warmup in main()
     # the memorized training wavs: serving payloads slice these so the
     # briefly-trained model emits eos early (realistic hyp lengths), as
     # bench.py's trained phase does
@@ -173,7 +178,12 @@ def main():
     # direct engine RTFx (fused encode+search, no HTTP): the serving
     # engine identity without transport overhead
     direct_wavs = [wav_bank[i % len(wav_bank)] for i in range(16)]
-    warm = engine.translate(direct_wavs)  # warmup/compile
+    warm = engine.translate(direct_wavs)  # warmup/compile (top rung)
+    # with a pad ladder every rung is its own compiled shape: warm each
+    # BEFORE the load window so no request pays a compile
+    for rung in getattr(engine, "_pad_rungs", [])[:-1]:
+        engine.translate(direct_wavs[:rung])
+        print(f"# warmed pad rung {rung}", flush=True)
     hyp_lens = [len(t.split()) for t in warm]
     print(f"# mean hyp len: {sum(hyp_lens) / len(hyp_lens):.1f}",
           flush=True)

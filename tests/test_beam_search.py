@@ -505,3 +505,27 @@ class TestFusedMultiPrompt:
             s.call_multi(
                 _random_enc(setup, 1, 8), prompts=[[1, 5, 5], [1, 5]]
             )
+
+    def test_fused_with_lm_fusion(self, setup):
+        """LM shallow fusion composes with per-row prompts (the LM consumes
+        bos only, which is uniform across rows)."""
+        bias = np.full((VOCAB,), -2.0, np.float32)
+        bias[11] = 2.0
+        bias_j = jnp.asarray(bias)
+
+        def lm_step(lm_params, tokens, position, state):
+            return jnp.tile(bias_j[None, :], (tokens.shape[0], 1)), state
+
+        enc = _random_enc(setup, 2, 10)
+        s = setup["make_searcher"](beam_size=3, min_decode_ratio=0.3)
+        s.set_lm(lm_step, None, {}, lm_weight=0.4)
+        s.bind(setup["t_params"], setup["s_params"])
+        s.set_decoder_prefix_tokens(5, 5)
+        h_a, _ = s(enc)
+        s.set_decoder_prefix_tokens(5, 9)
+        h_b, _ = s(enc)
+        (f_a, _), (f_b, _) = s.call_multi(
+            enc, prompts=[[1, 5, 5], [1, 5, 9]]
+        )
+        assert f_a == h_a
+        assert f_b == h_b

@@ -152,6 +152,9 @@ def main():
     )
     wav = dataset[0]["sig"]
     print(f"   translate([wav]) -> {engine.translate([wav])[0]!r}")
+    asr, st = engine.transcribe_and_translate([wav])
+    print(f"   transcribe_and_translate([wav]) -> ({asr[0]!r}, {st[0]!r})"
+          "  (one encoder pass + one fused dual-prompt search)")
     print("quickstart complete.")
 
 

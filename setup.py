@@ -17,7 +17,18 @@ setup(
             "_stacnative",
             sources=["native/stacnative.cpp"],
             extra_compile_args=["-O3", "-std=c++17", "-fvisibility=hidden"],
-        )
+        ),
+        # in-process compressed-audio decode (mp3/ogg/flac/...) via the
+        # system ffmpeg libraries; optional: skipped where the dev libs
+        # are absent (Python falls back to CLI-tool auto-detection in
+        # prep/audio_convert.py)
+        Extension(
+            "_stacaudio",
+            sources=["native/stacaudio.cpp"],
+            libraries=["avformat", "avcodec", "avutil", "swresample"],
+            extra_compile_args=["-O3", "-std=c++17", "-fvisibility=hidden"],
+            optional=True,
+        ),
     ],
     python_requires=">=3.10",
 )

@@ -202,7 +202,18 @@ def read_audio(
     elif magic.startswith(b"NIST_1A"):
         samples, rate = read_sphere(path)
     else:
-        raise ValueError(f"{path}: unknown audio container")
+        # compressed container (mp3/ogg/flac/...): in-process decode via
+        # the optional _stacaudio extension (linked ffmpeg libraries)
+        from ..native import get_audio_native
+
+        native = get_audio_native()
+        if native is None:
+            raise ValueError(
+                f"{path}: unknown audio container (build the _stacaudio "
+                "extension for compressed-audio decode)"
+            )
+        raw, rate = native.decode(path, int(sample_rate or 0))
+        samples = np.frombuffer(raw, np.float32)
     if mono and samples.ndim > 1:
         samples = samples.mean(axis=1)
     if sample_rate is not None and sample_rate != rate:

@@ -29,3 +29,22 @@ def get_native():
 
 def has_native() -> bool:
     return get_native() is not None
+
+
+_audio = None
+_audio_tried = False
+
+
+def get_audio_native():
+    """Returns the optional _stacaudio module (in-process compressed-audio
+    decode via the system ffmpeg libraries) or None when not built."""
+    global _audio, _audio_tried
+    if not _audio_tried:
+        _audio_tried = True
+        try:
+            import _stacaudio
+
+            _audio = _stacaudio
+        except ImportError:
+            _audio = None
+    return _audio

@@ -319,10 +319,13 @@ class TestAudioConvertFallback:
     def test_no_decoder_returns_none(self, monkeypatch):
         import shutil as _sh
 
-        from stac_st_tpu.prep.audio_convert import default_mp3_converter
+        from stac_st_tpu.prep import audio_convert as ac
 
+        # the in-process _stacaudio path (preferred when built) is stubbed
+        # out here: this test pins the no-decoder-anywhere behavior
+        monkeypatch.setattr(ac, "native_converter", lambda sr: None)
         monkeypatch.setattr(_sh, "which", lambda name: None)
-        assert default_mp3_converter() is None
+        assert ac.default_mp3_converter() is None
 
     def test_detects_first_available(self, monkeypatch, tmp_path):
         import shutil as _sh
@@ -330,6 +333,7 @@ class TestAudioConvertFallback:
         from stac_st_tpu.prep import audio_convert as ac
 
         calls = []
+        monkeypatch.setattr(ac, "native_converter", lambda sr: None)
         monkeypatch.setattr(
             _sh, "which",
             lambda name: "/usr/bin/sox" if name == "sox" else None,

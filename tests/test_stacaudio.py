@@ -1,0 +1,137 @@
+"""In-process compressed-audio decode (_stacaudio, native/stacaudio.cpp).
+
+Closes the CommonVoice mp3 gap flagged since round 1: the system ffmpeg
+LIBRARIES (libavformat/avcodec/swresample) are present in this image even
+though the CLI tools are not, so the decoder links them directly and the
+mp3 path is round-trip tested against REAL LAME-encoded bytes.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from stac_st_tpu.native import get_audio_native
+
+native = get_audio_native()
+pytestmark = pytest.mark.skipif(
+    native is None, reason="_stacaudio not built"
+)
+
+SR = 16000
+
+
+def _tone(seconds=1.5, f=440.0):
+    t = np.arange(int(SR * seconds)) / SR
+    return (0.5 * np.sin(2 * np.pi * f * t)
+            + 0.1 * np.sin(2 * np.pi * 3.1 * f * t)).astype(np.float32)
+
+
+def _roundtrip(tmp_path, codec, suffix, corr_min):
+    wav = _tone()
+    path = str(tmp_path / f"clip{suffix}")
+    native.encode(path, wav.tobytes(), SR, codec, 64000)
+    raw, sr = native.decode(path, SR)
+    dec = np.frombuffer(raw, np.float32)
+    assert sr == SR
+    # lossy codecs delay the stream (mp3's LAME tag makes ffmpeg trim it;
+    # mp2 has a fixed ~481-sample decoder delay): score the best lag
+    n = SR
+    assert len(dec) >= n
+    corr = max(
+        float(np.corrcoef(wav[:n], dec[lag:lag + n])[0, 1])
+        for lag in range(0, min(1201, len(dec) - n + 1))
+    )
+    assert corr > corr_min, corr
+    return dec
+
+
+class TestMp3RoundTrip:
+    def test_real_mp3_bytes_decode(self, tmp_path):
+        if not native.has_encoder("libmp3lame"):
+            pytest.skip("libmp3lame encoder not linked")
+        dec = _roundtrip(tmp_path, "libmp3lame", ".mp3", 0.98)
+        # decoded length ~= original + <= one padded codec frame
+        assert abs(len(dec) - int(SR * 1.5)) < 2 * 1152
+
+    def test_mp2_twolame_family(self, tmp_path):
+        if not native.has_encoder("mp2"):
+            pytest.skip("mp2 encoder not linked")
+        _roundtrip(tmp_path, "mp2", ".mp2", 0.95)
+
+    def test_flac_lossless(self, tmp_path):
+        if not native.has_encoder("flac"):
+            pytest.skip("flac encoder not linked")
+        wav = _tone()
+        path = str(tmp_path / "clip.flac")
+        native.encode(path, wav.tobytes(), SR, "flac", 0)
+        raw, sr = native.decode(path, SR)
+        dec = np.frombuffer(raw, np.float32)[: len(wav)]
+        np.testing.assert_allclose(dec, wav, atol=2e-4)  # s16/s32 quantize
+
+    def test_resamples_to_target_rate(self, tmp_path):
+        if not native.has_encoder("libmp3lame"):
+            pytest.skip("libmp3lame encoder not linked")
+        wav = _tone()
+        path = str(tmp_path / "clip.mp3")
+        native.encode(path, wav.tobytes(), SR, "libmp3lame", 64000)
+        raw, sr = native.decode(path, 8000)
+        assert sr == 8000
+        dec = np.frombuffer(raw, np.float32)
+        assert abs(len(dec) - int(8000 * 1.5)) < 1200
+
+    def test_decode_error_is_clean(self, tmp_path):
+        bad = tmp_path / "not_audio.mp3"
+        bad.write_bytes(b"\x00" * 64)
+        with pytest.raises(RuntimeError):
+            native.decode(str(bad), SR)
+
+
+class TestPipelineWiring:
+    def test_read_audio_handles_mp3(self, tmp_path):
+        if not native.has_encoder("libmp3lame"):
+            pytest.skip("libmp3lame encoder not linked")
+        from stac_st_tpu.data.audio import read_audio
+
+        wav = _tone()
+        path = str(tmp_path / "clip.mp3")
+        native.encode(path, wav.tobytes(), SR, "libmp3lame", 64000)
+        samples, sr = read_audio(path, sample_rate=SR)
+        assert sr == SR
+        corr = float(np.corrcoef(wav[:SR], samples[:SR])[0, 1])
+        assert corr > 0.98
+
+    def test_default_converter_prefers_native(self, tmp_path):
+        """With _stacaudio built, the CV prep converter is in-process and
+        produces a 16 kHz mono PCM16 wav our reader round-trips."""
+        if not native.has_encoder("libmp3lame"):
+            pytest.skip("libmp3lame encoder not linked")
+        from stac_st_tpu.data.audio import read_wav
+        from stac_st_tpu.prep.audio_convert import default_mp3_converter
+
+        convert = default_mp3_converter(16000)
+        assert convert is not None
+        wav = _tone()
+        src = str(tmp_path / "clip.mp3")
+        dst = str(tmp_path / "clip.wav")
+        native.encode(src, wav.tobytes(), SR, "libmp3lame", 64000)
+        convert(src, dst)
+        out, sr = read_wav(dst)
+        assert sr == 16000
+        corr = float(np.corrcoef(wav[:SR], out[:SR])[0, 1])
+        assert corr > 0.98
+
+    def test_commonvoice_prep_decodes_mp3_end_to_end(self, tmp_path):
+        """The CommonVoice prep path converts a REAL mp3 clip with the
+        default converter chain (previously text-only in this image)."""
+        if not native.has_encoder("libmp3lame"):
+            pytest.skip("libmp3lame encoder not linked")
+        from stac_st_tpu.prep.audio_convert import default_mp3_converter
+
+        wav = _tone(seconds=0.8)
+        src = str(tmp_path / "common_voice_es_1.mp3")
+        native.encode(src, wav.tobytes(), SR, "libmp3lame", 64000)
+        convert = default_mp3_converter(16000)
+        dst = str(tmp_path / "common_voice_es_1.wav")
+        convert(src, dst)
+        assert os.path.getsize(dst) > 0.7 * 0.8 * SR * 2

@@ -10,6 +10,8 @@ The oracle reimplements the SB forward semantics the reference relies on
 (``TransformerMultiTask.py:144-209``); see ``sb_oracle.py``.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -198,3 +200,85 @@ def test_save_imported_is_first_class_checkpoint(imported, tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestExportRoundTrip:
+    """sb_export is the exact inverse of sb_import (interop both ways)."""
+
+    def test_export_import_identity(self, imported):
+        """import(export(params)) == params, leaf for leaf."""
+        import jax
+
+        from stac_st_tpu.interop.sb_export import export_model_state_dict
+
+        _model, params = imported
+        sd = export_model_state_dict(params)
+        back = import_model_state_dict(sd)
+        flat_a, tree_a = jax.tree_util.tree_flatten(params)
+        flat_b, tree_b = jax.tree_util.tree_flatten(back)
+        assert tree_a == tree_b
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_import_export_matches_oracle_state_dict(self, imported):
+        """export(import(sd)) reproduces the SB oracle's state_dict —
+        every parameter key present with identical values (buffers like
+        .pe are regenerated by the reference and excluded)."""
+        from stac_st_tpu.interop.sb_export import export_model_state_dict
+        from stac_st_tpu.interop.sb_import import _is_buffer
+
+        model, params = imported
+        sd_ref = {k: v.detach().numpy() for k, v in model.state_dict().items()
+                  if not _is_buffer(k)}
+        sd_out = export_model_state_dict(params)
+        assert set(sd_out) == set(sd_ref)
+        for k in sd_ref:
+            np.testing.assert_array_equal(sd_out[k], sd_ref[k], err_msg=k)
+
+    def test_normalizer_round_trip(self):
+        from stac_st_tpu.interop.sb_export import export_normalizer_dict
+        from stac_st_tpu.interop.sb_import import import_normalizer_dict
+        from stac_st_tpu.ops.cmvn import cmvn_init, cmvn_update
+
+        import jax.numpy as jnp
+
+        state = cmvn_update(
+            cmvn_init(N_MELS),
+            jnp.ones((2, 5, N_MELS)) * 3.0, jnp.ones((2,)),
+        )
+        back = import_normalizer_dict(export_normalizer_dict(state))
+        np.testing.assert_allclose(np.asarray(back.mean),
+                                   np.asarray(state.mean), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(back.std),
+                                   np.asarray(state.std), rtol=1e-6)
+        assert float(back.count) == float(state.count)
+
+    def test_cli_round_trip(self, imported, tmp_path):
+        """export_sb_ckpt.py output loads back through load_sb_experiment."""
+        import subprocess
+        import sys as _sys
+
+        import jax
+
+        from stac_st_tpu.interop.sb_import import (
+            load_sb_experiment,
+            save_imported,
+        )
+        from stac_st_tpu.ops.cmvn import cmvn_init
+
+        _model, params = imported
+        save_dir = str(tmp_path / "save")
+        ckpt = save_imported(params, save_dir, cmvn=cmvn_init(N_MELS))
+        out = str(tmp_path / "sb")
+        r = subprocess.run(
+            [_sys.executable, "tools/export_sb_ckpt.py", ckpt, out],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, r.stderr
+        loaded = load_sb_experiment(out)
+        flat_a = jax.tree_util.tree_leaves(params)
+        flat_b = jax.tree_util.tree_leaves(loaded["params"])
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert loaded["cmvn"] is not None

@@ -36,8 +36,8 @@ def main():
     parser.add_argument("--backend", default="pyannote",
                         choices=["pyannote", "local"],
                         help="'local' = first-party PyanNet backend "
-                        "(segmentation mode only; --model is a local "
-                        "checkpoint path)")
+                        "(both modes; diarization clusters local-speaker "
+                        "embeddings; --model is a local checkpoint path)")
     parser.add_argument("--build-local", action="store_true",
                         help="build the miniature local segmentation "
                         "checkpoint at --model (or <out>/local_seg.pt) "

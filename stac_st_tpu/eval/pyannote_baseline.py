@@ -70,14 +70,16 @@ class _LocalModelLoader:
         return load_local_model(path)
 
 
-class _LocalPipelineUnsupported:
+class _LocalPipelineLoader:
+    """``Pipeline.from_pretrained``-shaped loader for the first-party
+    diarization pipeline (segmentation -> embeddings -> clustering,
+    :class:`stac_st_tpu.eval.pyannote_local.LocalDiarizationPipeline`)."""
+
     @staticmethod
     def from_pretrained(path, use_auth_token=None):
-        raise RuntimeError(
-            "the local backend implements the segmentation model path only; "
-            "the speaker-diarization pipeline (clustering) needs real "
-            "pyannote.audio"
-        )
+        from stac_st_tpu.eval.pyannote_local import LocalDiarizationPipeline
+
+        return LocalDiarizationPipeline.from_pretrained(path)
 
 
 def _import_pyannote(backend: str = "pyannote"):
@@ -96,7 +98,7 @@ def _import_pyannote(backend: str = "pyannote"):
             Peak,
         )
 
-        return (LocalInference, _LocalModelLoader, _LocalPipelineUnsupported,
+        return (LocalInference, _LocalModelLoader, _LocalPipelineLoader,
                 Binarize, Peak)
     try:
         from pyannote.audio import Inference, Model, Pipeline  # type: ignore

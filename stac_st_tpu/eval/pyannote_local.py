@@ -17,6 +17,11 @@ by re-owning the exact objects the reference model path consumes
   semantics the reference uses: onset/offset hysteresis VAD regions, and
   local-maxima peak partitioning with ``alpha`` height and ``min_duration``
   spacing, plus ``Timeline.crop`` intersection.
+* :class:`LocalDiarizationPipeline` — the ``speaker-diarization@2.1``
+  pipeline semantics (``/root/reference/evaluations/pyannote/
+  eval_pyannote.py:65-89``): sliding-window segmentation, per-chunk local
+  speaker embeddings, constrained agglomerative clustering, cluster-wise
+  activation aggregation into final speaker turns.
 
 This is NOT pyannote and carries no pretrained weights; it exists so the
 baseline's model path (sliding windows, aggregation, VAD+SCD math, RTTM
@@ -42,6 +47,10 @@ __all__ = [
     "Peak",
     "build_local_segmentation_checkpoint",
     "load_local_model",
+    "Annotation",
+    "LocalDiarizationPipeline",
+    "agglomerative_cluster",
+    "spectral_embedding",
 ]
 
 
@@ -370,7 +379,15 @@ class LocalInference:
                 data, self.model.SAMPLE_RATE // g, sr // g)
         return np.asarray(data, np.float32).reshape(-1)
 
-    def __call__(self, wav) -> SlidingWindowFeature:
+    def chunked(self, wav):
+        """Raw per-chunk model outputs BEFORE the hook and aggregation.
+
+        Returns ``(out, windows, starts, n_samples)`` where ``out`` is the
+        (chunks, frames, speakers) posterior block, ``windows`` the padded
+        (chunks, chunk_samples) audio windows it was computed from, and
+        ``starts`` the chunk start offsets in samples. The diarization
+        pipeline consumes this to embed and cluster chunk-local speakers.
+        """
         torch = _torch()
         audio = self._load(wav)
         sr = self.model.SAMPLE_RATE
@@ -386,6 +403,11 @@ class LocalInference:
 
         with torch.no_grad():
             out = self.model(torch.tensor(windows[:, None, :])).numpy()
+        return out, windows, starts, n
+
+    def __call__(self, wav) -> SlidingWindowFeature:
+        out, _, starts, n = self.chunked(wav)
+        sr = self.model.SAMPLE_RATE
         if self.hook is not None:
             out = self.hook(out)
         out = np.asarray(out)
@@ -477,3 +499,219 @@ class Peak:
         return Timeline([
             Segment(a, b) for a, b in zip(bounds[:-1], bounds[1:])
         ])
+
+
+# ---------------------------------------------------------------------------
+# Diarization pipeline: segmentation -> embeddings -> clustering
+# (pyannote ``speaker-diarization@2.1`` pipeline semantics, first-party)
+# ---------------------------------------------------------------------------
+
+
+class Annotation:
+    """The minimal ``pyannote.core.Annotation`` surface the baseline uses:
+    ``itertracks(yield_label=True)`` yielding (Segment, track, label) in
+    chronological order."""
+
+    def __init__(self):
+        self._tracks: List[tuple] = []
+
+    def add(self, segment: Segment, track, label) -> None:
+        if segment.duration > 0.0:
+            self._tracks.append((segment, track, label))
+
+    def itertracks(self, yield_label: bool = False):
+        ordered = sorted(
+            self._tracks, key=lambda x: (x[0].start, x[0].end, str(x[2])))
+        for seg, trk, lab in ordered:
+            yield (seg, trk, lab) if yield_label else (seg, trk)
+
+    def __len__(self):
+        return len(self._tracks)
+
+
+def spectral_embedding(samples: np.ndarray, n_fft: int = 512) -> np.ndarray:
+    """First-party speaker embedding: mean log-magnitude spectrum over
+    hann-windowed frames, L2-normalized.
+
+    Stands in for pyannote's pretrained ECAPA embedding model (which needs
+    HF-gated weights): it separates speakers by spectral envelope, which is
+    exactly the cue the local synthetic checkpoints are built around, and
+    is deterministic and dependency-free.
+    """
+    x = np.asarray(samples, np.float32).reshape(-1)
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    hop = n_fft // 2
+    window = np.hanning(n_fft).astype(np.float32)
+    n_frames = 1 + (len(x) - n_fft) // hop
+    spec = np.zeros(n_fft // 2 + 1, np.float64)
+    for i in range(n_frames):
+        frame = x[i * hop:i * hop + n_fft] * window
+        spec += np.abs(np.fft.rfft(frame))
+    spec /= max(1, n_frames)
+    emb = np.log(spec + 1e-8)
+    emb -= emb.mean()
+    norm = np.linalg.norm(emb)
+    return (emb / norm if norm > 0 else emb).astype(np.float32)
+
+
+def agglomerative_cluster(
+    embeddings: np.ndarray,
+    num_clusters: Optional[int] = None,
+    min_clusters: int = 1,
+    max_clusters: Optional[int] = None,
+    threshold: float = 0.7,
+) -> np.ndarray:
+    """Average-linkage agglomerative clustering on cosine distance.
+
+    With ``num_clusters`` set, merges until exactly that many remain
+    (pyannote's constrained mode when the caller passes ``num_speakers``);
+    otherwise merges while the closest pair is nearer than ``threshold``,
+    respecting ``min_clusters``/``max_clusters``. Returns integer labels.
+    """
+    n = len(embeddings)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    if num_clusters is not None:
+        num_clusters = max(1, min(int(num_clusters), n))
+    clusters: List[List[int]] = [[i] for i in range(n)]
+    # cosine distance matrix once; average linkage = mean pairwise distance
+    e = np.asarray(embeddings, np.float64)
+    e = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+    dist = 1.0 - e @ e.T
+
+    def linkage(a: List[int], b: List[int]) -> float:
+        return float(dist[np.ix_(a, b)].mean())
+
+    while len(clusters) > 1:
+        k = len(clusters)
+        target = num_clusters if num_clusters is not None else min_clusters
+        best, bi, bj = None, -1, -1
+        for i in range(k):
+            for j in range(i + 1, k):
+                d = linkage(clusters[i], clusters[j])
+                if best is None or d < best:
+                    best, bi, bj = d, i, j
+        if num_clusters is not None:
+            if k <= num_clusters:
+                break
+        else:
+            over_max = max_clusters is not None and k > max_clusters
+            if not over_max and (k <= min_clusters or best > threshold):
+                break
+        clusters[bi] = clusters[bi] + clusters[bj]
+        del clusters[bj]
+
+    labels = np.zeros(n, np.int64)
+    # stable label order: cluster of the earliest member gets the lowest id
+    clusters.sort(key=lambda c: min(c))
+    for lab, members in enumerate(clusters):
+        for m in members:
+            labels[m] = lab
+    return labels
+
+
+class LocalDiarizationPipeline:
+    """``pyannote/speaker-diarization@2.1`` pipeline semantics over the
+    first-party local backend (reference model path:
+    ``evaluations/pyannote/eval_pyannote.py:65-89``).
+
+    Stages mirror pyannote's SpeakerDiarization pipeline: (1) sliding-window
+    segmentation posteriors, (2) per-chunk binarized local speaker activity,
+    (3) one embedding per active (chunk, local speaker) over its active
+    samples, (4) constrained agglomerative clustering, (5) cluster-wise
+    Hamming overlap-add of activations onto the file clock, binarized into
+    final speaker turns. Called exactly like the reference:
+    ``pipe(wav, min_speakers=1, num_speakers=2)``.
+    """
+
+    def __init__(self, model: MiniPyanNet, onset: float = 0.5,
+                 offset: Optional[float] = None,
+                 min_duration_on: float = 0.1,
+                 min_duration_off: float = 0.1,
+                 min_active_frames: int = 5,
+                 clustering_threshold: float = 0.7):
+        self.model = model
+        self.inference = LocalInference(model)
+        self.onset = onset
+        self.offset = offset if offset is not None else onset
+        self.min_duration_on = min_duration_on
+        self.min_duration_off = min_duration_off
+        self.min_active_frames = min_active_frames
+        self.clustering_threshold = clustering_threshold
+
+    @classmethod
+    def from_pretrained(cls, path, use_auth_token=None):
+        return cls(load_local_model(path))
+
+    def __call__(self, wav, min_speakers: int = 1,
+                 num_speakers: Optional[int] = None,
+                 max_speakers: Optional[int] = None) -> Annotation:
+        out, windows, starts, n = self.inference.chunked(wav)
+        sr = self.model.SAMPLE_RATE
+        n_chunks, frames_per_chunk, n_local = out.shape
+        chunk_samples = windows.shape[1]
+        samples_per_frame = chunk_samples / frames_per_chunk
+        frame_step = self.inference.duration / frames_per_chunk
+
+        # (2)+(3): embed every sufficiently active (chunk, local speaker)
+        members: List[tuple] = []   # (chunk index, local speaker)
+        embeddings: List[np.ndarray] = []
+        for c in range(n_chunks):
+            for s in range(n_local):
+                active = out[c, :, s] > self.onset
+                if int(active.sum()) < self.min_active_frames:
+                    continue
+                idx = np.flatnonzero(active)
+                pieces = [
+                    windows[c, int(i * samples_per_frame):
+                            int((i + 1) * samples_per_frame)]
+                    for i in idx
+                ]
+                members.append((c, s))
+                embeddings.append(spectral_embedding(np.concatenate(pieces)))
+
+        annotation = Annotation()
+        if not members:
+            return annotation
+
+        labels = agglomerative_cluster(
+            np.stack(embeddings), num_clusters=num_speakers,
+            min_clusters=max(1, int(min_speakers)),
+            max_clusters=max_speakers,
+            threshold=self.clustering_threshold)
+        n_clusters = int(labels.max()) + 1
+
+        # (5): aggregate per-cluster activations onto the file clock.
+        # Every chunk contributes to every cluster's normalization (an
+        # absent speaker is evidence of silence, as in pyannote's
+        # discrete stitching).
+        total_frames = int(round(n / sr / frame_step)) + 1
+        acc = np.zeros((total_frames, n_clusters), np.float64)
+        wsum = np.zeros((total_frames, 1), np.float64)
+        hamming = np.hamming(frames_per_chunk)
+        chunk_cluster = np.zeros(
+            (n_chunks, frames_per_chunk, n_clusters), np.float64)
+        for (c, s), lab in zip(members, labels):
+            chunk_cluster[c, :, lab] = np.maximum(
+                chunk_cluster[c, :, lab], out[c, :, s])
+        for c, s0 in enumerate(starts):
+            f0 = int(round(s0 / sr / frame_step))
+            f1 = min(f0 + frames_per_chunk, total_frames)
+            acc[f0:f1] += chunk_cluster[c, : f1 - f0] * hamming[: f1 - f0,
+                                                                None]
+            wsum[f0:f1] += hamming[: f1 - f0, None]
+        tracks = acc / np.maximum(wsum, 1e-12)
+
+        binarize = Binarize(
+            onset=self.onset, offset=self.offset,
+            min_duration_on=self.min_duration_on,
+            min_duration_off=self.min_duration_off)
+        frames = SlidingWindowFrames(0.0, frame_step, frame_step)
+        for k in range(n_clusters):
+            label = f"SPEAKER_{k:02d}"
+            timeline = binarize(
+                SlidingWindowFeature(tracks[:, k:k + 1], frames))
+            for t, seg in enumerate(timeline):
+                annotation.add(seg, f"{label}_{t}", label)
+        return annotation

@@ -195,3 +195,103 @@ def test_timeline_crop_intersection():
     cropped = peaks.crop(speech)
     got = [(s.start, s.end) for s in cropped]
     assert got == [(1.0, 2.0), (2.0, 3.0), (6.0, 7.0)]
+
+
+# ---------------------------------------------------------------------------
+# Diarization pipeline (speaker-diarization@2.1 semantics, local backend)
+# ---------------------------------------------------------------------------
+
+
+def test_agglomerative_cluster_constrained_and_threshold():
+    from stac_st_tpu.eval.pyannote_local import agglomerative_cluster
+
+    rng = np.random.default_rng(0)
+    centers = np.eye(3, 8)
+    emb = np.concatenate([
+        centers[i] + 0.01 * rng.standard_normal((4, 8)) for i in range(3)
+    ])
+    # constrained: exactly 2 clusters even though 3 natural groups exist
+    labels2 = agglomerative_cluster(emb, num_clusters=2)
+    assert labels2.max() == 1
+    # unconstrained with a tight threshold: recovers the 3 groups
+    labels3 = agglomerative_cluster(emb, threshold=0.5)
+    assert labels3.max() == 2
+    for g in range(3):
+        group = labels3[g * 4:(g + 1) * 4]
+        assert (group == group[0]).all()
+    # degenerate inputs
+    assert agglomerative_cluster(np.zeros((0, 4))).shape == (0,)
+    assert (agglomerative_cluster(np.ones((1, 4)), num_clusters=2)
+            == np.array([0])).all()
+
+
+def test_spectral_embedding_separates_carriers():
+    from stac_st_tpu.eval.pyannote_local import spectral_embedding
+
+    tt = np.arange(SR) / SR
+    low = np.sin(2 * np.pi * 500.0 * tt).astype(np.float32)
+    high = np.sin(2 * np.pi * 3000.0 * tt).astype(np.float32)
+    e_low1 = spectral_embedding(low[: SR // 2])
+    e_low2 = spectral_embedding(low[SR // 2:])
+    e_high = spectral_embedding(high)
+    same = float(e_low1 @ e_low2)
+    cross = float(e_low1 @ e_high)
+    assert same > cross + 0.2, (same, cross)
+
+
+def test_diarization_pipeline_end_to_end(local_ckpt, tmp_path):
+    """reference eval_pyannote.py diarization branch: manifest ->
+    Pipeline.from_pretrained -> pipe(wav, min_speakers=1, num_speakers=2)
+    -> labeled RTTM, through run_pyannote_manifest(backend='local')."""
+    from stac_st_tpu.eval.pyannote_baseline import run_pyannote_manifest
+
+    wav, regions = _two_speaker_wav(seconds=10.0)
+    wav_path = str(tmp_path / "conv.wav")
+    write_wav(wav_path, wav, SR)
+    manifest = str(tmp_path / "manifest.json")
+    with open(manifest, "w") as f:
+        json.dump({"conv-d": {"wav": "{data_root}/conv.wav"}}, f)
+
+    out_rttm = str(tmp_path / "hyp_diar.rttm")
+    lines = run_pyannote_manifest(
+        manifest, out_rttm,
+        pipeline="pyannote/speaker-diarization@2.1",
+        model_name=local_ckpt, data_root=str(tmp_path), backend="local")
+
+    assert lines and os.path.exists(out_rttm)
+    labels = set()
+    votes = {}  # region index -> {label: overlap seconds}
+    for line in lines:
+        parts = line.split()
+        assert parts[0] == "SPEAKER" and parts[1] == "conv-d"
+        start, dur, label = float(parts[3]), float(parts[4]), parts[7]
+        assert dur > 0
+        labels.add(label)
+        for r, (s, e, _) in enumerate(regions):
+            ov = min(e, start + dur) - max(s, start)
+            if ov > 0:
+                votes.setdefault(r, {})
+                votes[r][label] = votes[r].get(label, 0.0) + ov
+    # num_speakers=2 constraint: exactly two labels on two-speaker audio
+    assert len(labels) == 2, lines
+    # each true region is dominated by a different speaker label
+    assert set(votes) == {0, 1}, votes
+    top = {r: max(v, key=v.get) for r, v in votes.items()}
+    assert top[0] != top[1], (votes, lines)
+
+
+def test_diarization_pipeline_single_speaker_collapses(local_ckpt, tmp_path):
+    """Unconstrained clustering on one-speaker audio yields one label."""
+    from stac_st_tpu.eval.pyannote_local import LocalDiarizationPipeline
+
+    rng = np.random.default_rng(1)
+    n = int(8.0 * SR)
+    wav = np.zeros(n, np.float32)
+    tt = np.arange(int(6.0 * SR)) / SR
+    i0 = int(1.0 * SR)
+    wav[i0:i0 + len(tt)] = (0.5 * np.sin(2 * np.pi * 500.0 * tt)
+                            + 0.1 * rng.standard_normal(len(tt)))
+    pipe = LocalDiarizationPipeline.from_pretrained(local_ckpt)
+    ann = pipe(wav, min_speakers=1)
+    got = {label for _, _, label in ann.itertracks(yield_label=True)}
+    assert len(got) == 1, got

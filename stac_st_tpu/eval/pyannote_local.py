@@ -585,7 +585,6 @@ def agglomerative_cluster(
 
     while len(clusters) > 1:
         k = len(clusters)
-        target = num_clusters if num_clusters is not None else min_clusters
         best, bi, bj = None, -1, -1
         for i in range(k):
             for j in range(i + 1, k):

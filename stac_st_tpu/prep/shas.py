@@ -49,9 +49,9 @@ logger = logging.getLogger(__name__)
 
 __all__ = [
     "EnergyFrameVAD", "webrtc_vad_or_fallback", "frame_generator",
-    "vad_collector", "pause_based_segmentation", "speech_probabilities",
-    "pdac", "shas_segmentation", "mask_wav_files",
-    "create_json_and_segment", "write_segmentation_yaml",
+    "vad_collector", "pause_based_segments", "pause_based_segmentation",
+    "speech_probabilities", "pdac", "shas_segments", "shas_segmentation",
+    "mask_wav_files", "create_json_and_segment", "write_segmentation_yaml",
     "read_segmentation_yaml",
 ]
 
@@ -156,6 +156,21 @@ def vad_collector(
     return segments
 
 
+def pause_based_segments(
+    samples: np.ndarray,
+    sample_rate: int = SAMPLERATE,
+    frame_ms: int = 10,
+    aggressiveness: int = 1,
+    padding_ms: int = 300,
+    vad=None,
+) -> List[Tuple[float, float]]:
+    """In-memory pause-based VAD: samples → (offset_s, duration_s) list
+    (the array-level core of :func:`pause_based_segmentation`)."""
+    vad = vad if vad is not None else webrtc_vad_or_fallback(aggressiveness)
+    frames = frame_generator(samples, sample_rate, frame_ms)
+    return vad_collector(frames, vad, sample_rate, frame_ms, padding_ms)
+
+
 def pause_based_segmentation(
     wav_path: str,
     frame_ms: int = 10,
@@ -166,9 +181,8 @@ def pause_based_segmentation(
     """One wav → SHAS-style segment dicts (offset/duration/wav), the
     pause-based method of ``run_shas_segmentation.sh:113-121``."""
     samples, rate = read_audio(wav_path, sample_rate=SAMPLERATE)
-    vad = vad if vad is not None else webrtc_vad_or_fallback(aggressiveness)
-    frames = frame_generator(samples, rate, frame_ms)
-    segments = vad_collector(frames, vad, rate, frame_ms, padding_ms)
+    segments = pause_based_segments(
+        samples, rate, frame_ms, aggressiveness, padding_ms, vad)
     name = os.path.basename(wav_path)
     return [
         {
@@ -253,6 +267,28 @@ def pdac(
     return [(s * frame_s, (e - s) * frame_s) for s, e in out]
 
 
+def shas_segments(
+    samples: np.ndarray,
+    sample_rate: int = SAMPLERATE,
+    dac_min_segment_length: float = 10.0,
+    dac_max_segment_length: float = 15.0,
+    prob_fn: Callable[[np.ndarray, int], np.ndarray] = None,
+    frame_s: float = 0.02,
+    threshold: float = 0.5,
+) -> List[Tuple[float, float]]:
+    """In-memory SHAS pDAC: samples → (offset_s, duration_s) list (the
+    array-level core of :func:`shas_segmentation`; defaults are the
+    reference grid's ``10_15`` point, ``run_shas_segmentation.sh:137``)."""
+    probs = (
+        prob_fn(samples, sample_rate) if prob_fn is not None
+        else speech_probabilities(samples, sample_rate, frame_s)
+    )
+    return pdac(
+        np.asarray(probs), dac_max_segment_length, dac_min_segment_length,
+        frame_s, threshold,
+    )
+
+
 def shas_segmentation(
     wav_path: str,
     dac_min_segment_length: float,
@@ -264,13 +300,9 @@ def shas_segmentation(
     """One wav → SHAS segment dicts over the DAC min/max constraint
     (``run_shas_segmentation.sh:217-224``)."""
     samples, rate = read_audio(wav_path, sample_rate=SAMPLERATE)
-    probs = (
-        prob_fn(samples, rate) if prob_fn is not None
-        else speech_probabilities(samples, rate, frame_s)
-    )
-    segments = pdac(
-        np.asarray(probs), dac_max_segment_length, dac_min_segment_length,
-        frame_s, threshold,
+    segments = shas_segments(
+        samples, rate, dac_min_segment_length, dac_max_segment_length,
+        prob_fn, frame_s, threshold,
     )
     name = os.path.basename(wav_path)
     return [

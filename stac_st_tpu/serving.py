@@ -8,6 +8,7 @@ behind two calls::
     texts = engine.translate(wavs)        # es -> en ST
     texts = engine.transcribe(wavs)       # es ASR
     events = engine.speaker_turns(wavs)   # CTC-spike [turn]/[xt] events
+    result = engine.long_form(long_wav)   # VAD -> dual decode -> RTTM
 
 TPU-native serving design:
 * inputs are bucketed to a fixed grid of audio lengths (default powers-of-2
@@ -219,8 +220,37 @@ class STEngine:
                 return jnp.argmax(logits, axis=-1)
 
             self._ctc_argmax = _ctc_argmax
+
+            @jax.jit
+            def _decode_dual_fused_ctc(params, cmvn, wavs, wav_lens,
+                                       prompts):
+                """The long-form program: one encoder pass feeding BOTH
+                the fused dual-prompt search and the CTC turn/xt frame
+                argmax — everything a conversation segment needs from one
+                dispatch. Padded frames are forced to blank so bucket
+                padding cannot fake speaker-change spikes."""
+                enc = _encode(params, cmvn, wavs, wav_lens)
+                am = jnp.argmax(
+                    ctc_lin.apply(params["ctc_lin"], enc), axis=-1)
+                n_frames = enc.shape[1]
+                valid = jnp.ceil(wav_lens * n_frames).astype(jnp.int32)
+                am = jnp.where(
+                    jnp.arange(n_frames)[None, :] < valid[:, None], am, 0)
+                rows = enc.shape[0]
+                enc2 = jnp.concatenate([enc, enc], axis=0)
+                wl2 = jnp.concatenate([wav_lens, wav_lens], axis=0)
+                prompt_rows = jnp.repeat(prompts, rows, axis=0)
+                sp = {"t": params["Transformer"], "s": params["seq_lin"],
+                      "lm": None}
+                tokens, lengths, scores, _ = searcher.search_arrays(
+                    enc2, wl2, prompt=prompt_rows, params=sp
+                )
+                return tokens, lengths, scores, am
+
+            self._decode_dual_fused_ctc = _decode_dual_fused_ctc
         else:
             self._ctc_argmax = None
+            self._decode_dual_fused_ctc = None
 
     # ------------------------------------------------------------ factories
     @classmethod
@@ -500,3 +530,131 @@ class STEngine:
                     for name in ("turn", "xt")
                 }
         return results  # type: ignore[return-value]
+
+    def long_form(
+        self,
+        wav: np.ndarray,
+        source_lang: Optional[str] = None,
+        target_lang: Optional[str] = None,
+        *,
+        segmentation: str = "pause",
+        dac_min_segment_length: float = 10.0,
+        dac_max_segment_length: float = 15.0,
+        frame_ms: int = 10,
+        aggressiveness: int = 1,
+        padding_ms: int = 300,
+        prob_fn=None,
+        uri: str = "conversation",
+    ) -> Dict:
+        """Whole-conversation inference in ONE call: VAD-segment a long
+        waveform, batch the segments through the fused dual-prompt
+        (ASR+ST) search plus the CTC speaker-turn head, and merge.
+
+        The reference needs a four-stage shell pipeline for this
+        (``run_shas_segmentation.sh`` → ``inference.py`` →
+        ``fix_RTTM.py`` → realign); here the same semantics are an
+        engine method: ``segmentation='pause'`` is the WebRTC
+        pause-based method (frame 10 ms / aggressiveness 1 —
+        ``run_shas_segmentation.sh:113-121``), ``'shas'`` the pDAC
+        min/max method (defaults = the grid's ``10_15`` point,
+        line 137; pass ``prob_fn`` to plug a learned frame classifier).
+
+        Returns a dict with per-segment results (``segments``: start /
+        end seconds, raw ``transcription``/``translation`` still
+        carrying ``[turn]``/``[xt]`` markers), conversation-level
+        merged clean texts, and absolute-time RTTM lines per marker
+        (utterance ids follow the reference's
+        ``<uri>-0-<start_cs>-<end_cs>`` centisecond convention that
+        ``fix_rttm``/the F1 scorer parse).
+        """
+        from .prep.shas import pause_based_segments, shas_segments
+
+        wav = np.asarray(wav)
+        if wav.dtype == np.int16:
+            wav = wav.astype(np.float32) / 32768.0
+        else:
+            wav = wav.astype(np.float32)
+        if segmentation == "pause":
+            segs = pause_based_segments(
+                wav, self.sample_rate, frame_ms, aggressiveness,
+                padding_ms)
+        elif segmentation == "shas":
+            segs = shas_segments(
+                wav, self.sample_rate, dac_min_segment_length,
+                dac_max_segment_length, prob_fn)
+        else:
+            raise ValueError(
+                f"segmentation must be 'pause' or 'shas', got "
+                f"{segmentation!r}")
+        empty = {
+            "segments": [], "transcription": "", "translation": "",
+            "rttm": {"turn": [], "xt": []},
+        }
+        if not segs:
+            return empty
+        segs = sorted(segs)
+        sr = self.sample_rate
+        seg_wavs, seg_ids = [], []
+        for off, dur in segs:
+            a, b = int(round(off * sr)), int(round((off + dur) * sr))
+            seg_wavs.append(wav[a:b])
+            seg_ids.append(
+                f"{uri}-0-{int(round(off * 100)):06d}-"
+                f"{int(round((off + dur) * 100)):06d}")
+
+        sp = self.tokenizer
+        src = source_lang or self.source_lang
+        tgt = target_lang or self.target_lang
+        src_id = sp.encode_as_ids(f"[{src}]")[-1]
+        tgt_id = sp.encode_as_ids(f"[{tgt}]")[-1]
+        bos = self.searcher.bos_token
+        prompts = jnp.asarray(
+            [[bos, src_id, src_id], [bos, src_id, tgt_id]], jnp.int32)
+        token_ids = {"turn": self.turn_id, "xt": self.xt_id}
+
+        asr: List[Optional[str]] = [None] * len(seg_wavs)
+        st: List[Optional[str]] = [None] * len(seg_wavs)
+        rttm: Dict[str, List[str]] = {"turn": [], "xt": []}
+        for idx, batch, lens in self._prepare(seg_wavs):
+            if self._decode_dual_fused_ctc is not None:
+                tokens, lengths, _scores, am = self._decode_dual_fused_ctc(
+                    self.params, self.cmvn, batch, lens, prompts)
+                events = extract_turn_events(
+                    [seg_ids[i] for i in idx],
+                    np.asarray(am)[: len(idx)], token_ids)
+                for name in rttm:
+                    rttm[name].extend(events[name])
+            else:
+                tokens, lengths, _scores = self._decode_dual_fused(
+                    self.params, self.cmvn, batch, lens, prompts)
+            tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+            rows = len(lens)
+            for row, i in enumerate(idx):
+                asr[i] = sp.decode_ids(
+                    [int(t) for t in tokens[row, : lengths[row]]])
+                st[i] = sp.decode_ids(
+                    [int(t) for t in
+                     tokens[rows + row, : lengths[rows + row]]])
+        for name in rttm:
+            rttm[name].sort(key=lambda ln: float(ln.split()[3]))
+
+        def clean(texts: List[Optional[str]]) -> str:
+            joined = " ".join(t for t in texts if t)
+            words = [w for w in joined.split()
+                     if w not in ("[turn]", "[xt]")]
+            return " ".join(words)
+
+        return {
+            "segments": [
+                {
+                    "start": round(off, 6),
+                    "end": round(off + dur, 6),
+                    "transcription": asr[i],
+                    "translation": st[i],
+                }
+                for i, (off, dur) in enumerate(segs)
+            ],
+            "transcription": clean(asr),
+            "translation": clean(st),
+            "rttm": rttm,
+        }

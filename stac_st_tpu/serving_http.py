@@ -11,6 +11,9 @@ expose the engine's coalescing queue on a socket:
                               "target_lang": "en"} -> both streams from ONE
                               encoder pass + fused dual-prompt search
     POST /v1/speaker_turns   {"audio": ...}
+    POST /v1/long_form       {"audio": <whole conversation>, ...} -> VAD
+                              segmentation + fused dual decode + merged
+                              texts + absolute-time RTTM (engine.long_form)
     GET  /healthz            {"status": "ok"}
     GET  /stats              coalescing counters from the front end
 
@@ -43,6 +46,7 @@ _ROUTES = {
     "/v1/transcribe": "transcribe",
     "/v1/transcribe_translate": "transcribe_translate",
     "/v1/speaker_turns": "speaker_turns",
+    "/v1/long_form": "long_form",
 }
 
 
@@ -112,8 +116,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply(504, {"error": "decode timed out"})
         if task == "speaker_turns":
             return self._reply(200, {"events": result})
-        if task == "transcribe_translate":
-            return self._reply(200, result)  # {transcription, translation}
+        if task in ("transcribe_translate", "long_form"):
+            return self._reply(200, result)  # result is already a dict
         return self._reply(200, {"text": result})
 
 

@@ -37,7 +37,7 @@ logger = logging.getLogger(__name__)
 __all__ = ["StreamingFrontEnd", "TurnStreamer"]
 
 _TASKS = ("translate", "transcribe", "transcribe_translate",
-          "speaker_turns")
+          "speaker_turns", "long_form")
 
 
 @dataclass
@@ -194,6 +194,14 @@ class StreamingFrontEnd:
                     results = [
                         {"transcription": a, "translation": s}
                         for a, s in zip(asr, st)
+                    ]
+                elif task == "long_form":
+                    # one conversation per request: the engine batches the
+                    # VAD segments internally, so no cross-request fusion
+                    results = [
+                        self.engine.long_form(
+                            w, source_lang=src, target_lang=tgt)
+                        for w in wavs
                     ]
                 else:
                     results = self.engine.speaker_turns(wavs)

@@ -341,3 +341,86 @@ class TestPcm16Transfer:
         eng_f = _build_engine(parts)
         wav_f = ints.astype(np.float32) / 32768.0
         assert eng_f.translate([ints]) == eng_f.translate([wav_f])
+
+
+class TestLongForm:
+    """engine.long_form: VAD -> batched fused dual decode -> merged
+    conversation output (the reference's four-stage shell pipeline —
+    run_shas_segmentation.sh -> inference.py -> fix_RTTM.py — as one
+    engine call)."""
+
+    @staticmethod
+    def _conversation(n_bursts=3, speech_s=0.6, gap_s=0.5):
+        """Loud noise bursts separated by silence: the energy-VAD
+        fallback segments these like speech/pause."""
+        r = np.random.default_rng(11)
+        sr = 16000
+        parts = [np.zeros(int(gap_s * sr), np.float32)]
+        for _ in range(n_bursts):
+            parts.append(
+                (0.5 * r.standard_normal(int(speech_s * sr)))
+                .astype(np.float32))
+            parts.append(np.zeros(int(gap_s * sr), np.float32))
+        return np.concatenate(parts)
+
+    def test_pause_mode_segments_and_merges(self, engine):
+        wav = self._conversation()
+        out = engine.long_form(wav, uri="conv1")
+        assert len(out["segments"]) >= 2
+        starts = [s["start"] for s in out["segments"]]
+        assert starts == sorted(starts)
+        for seg in out["segments"]:
+            assert 0.0 <= seg["start"] < seg["end"] <= len(wav) / 16000
+            assert isinstance(seg["transcription"], str)
+            assert isinstance(seg["translation"], str)
+        # merged conversation text is cleaned of the marker tokens
+        assert "[turn]" not in out["transcription"]
+        assert "[xt]" not in out["translation"]
+
+    def test_segment_texts_match_direct_dual_call(self, engine):
+        """Per-segment outputs equal transcribe_and_translate on the
+        same slices: long_form adds segmentation + the CTC output to
+        the same fused search, it must not change the hypotheses."""
+        wav = self._conversation()
+        out = engine.long_form(wav)
+        sr = 16000
+        slices = [
+            wav[int(round(s["start"] * sr)): int(round(s["end"] * sr))]
+            for s in out["segments"]
+        ]
+        asr, st = engine.transcribe_and_translate(slices)
+        assert [s["transcription"] for s in out["segments"]] == asr
+        assert [s["translation"] for s in out["segments"]] == st
+
+    def test_rttm_times_are_absolute_and_parse(self, engine):
+        wav = self._conversation()
+        out = engine.long_form(wav, uri="convA")
+        end = len(wav) / 16000
+        for name in ("turn", "xt"):
+            for line in out["rttm"][name]:
+                f = line.split()
+                assert f[0] == "SPEAKER" and f[1].startswith("convA-0-")
+                t = float(f[3])
+                assert 0.0 <= t <= end
+                # absolute: inside the emitting segment's span
+                a, b = int(f[1].split("-")[2]), int(f[1].split("-")[3])
+                assert a / 100 - 1e-6 <= t <= b / 100 + 1.0
+
+    def test_silence_returns_empty(self, engine):
+        out = engine.long_form(np.zeros(16000, np.float32))
+        assert out["segments"] == []
+        assert out["transcription"] == "" and out["translation"] == ""
+
+    def test_shas_mode_respects_max_length(self, engine):
+        wav = self._conversation(n_bursts=2, speech_s=0.9, gap_s=0.4)
+        out = engine.long_form(
+            wav, segmentation="shas",
+            dac_min_segment_length=0.2, dac_max_segment_length=0.6)
+        assert out["segments"]
+        for seg in out["segments"]:
+            assert seg["end"] - seg["start"] <= 0.6 + 1e-6
+
+    def test_rejects_unknown_segmentation(self, engine):
+        with pytest.raises(ValueError):
+            engine.long_form(np.zeros(1600, np.float32),
+                             segmentation="nope")

@@ -120,6 +120,21 @@ class TestHttpApi:
         assert code == 200
         assert body["events"] == engine.speaker_turns([wav])[0]
 
+    def test_long_form_route(self, server, engine):
+        r = np.random.default_rng(12)
+        wav = np.concatenate([
+            np.zeros(8000, np.float32),
+            (0.5 * r.standard_normal(int(0.6 * 16000))).astype(np.float32),
+            np.zeros(8000, np.float32),
+        ])
+        code, body = _post(server, "/v1/long_form", {
+            "audio": wav.tolist()})
+        assert code == 200
+        ref = engine.long_form(wav)
+        assert body["transcription"] == ref["transcription"]
+        assert body["translation"] == ref["translation"]
+        assert len(body["segments"]) == len(ref["segments"])
+
     def test_concurrent_clients_coalesce(self, server, engine, rng):
         wavs = [rng.standard_normal(int(0.3 * 16000)).astype(np.float32)
                 for _ in range(4)]

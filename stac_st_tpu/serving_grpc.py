@@ -121,6 +121,22 @@ class _Servicer:
         events = self._decode("speaker_turns", request, context)
         return pb.TurnEvents(turn=events["turn"], xt=events["xt"])
 
+    def LongForm(self, request, context):  # noqa: N802
+        out = self._decode("long_form", request, context)
+        return pb.LongFormResponse(
+            segments=[
+                pb.LongFormSegment(
+                    start_s=s["start"], end_s=s["end"],
+                    transcription=s["transcription"],
+                    translation=s["translation"])
+                for s in out["segments"]
+            ],
+            transcription=out["transcription"],
+            translation=out["translation"],
+            rttm_turn=out["rttm"]["turn"],
+            rttm_xt=out["rttm"]["xt"],
+        )
+
     # ----------------------------------------------------------- streaming
     def StreamTurns(self, request_iterator, context):  # noqa: N802
         streamer = TurnStreamer(
@@ -171,6 +187,10 @@ def _handlers(servicer: _Servicer):
             servicer.SpeakerTurns,
             request_deserializer=pb.DecodeRequest.FromString,
             response_serializer=pb.TurnEvents.SerializeToString),
+        "LongForm": u(
+            servicer.LongForm,
+            request_deserializer=pb.DecodeRequest.FromString,
+            response_serializer=pb.LongFormResponse.SerializeToString),
         "StreamTurns": grpc.stream_stream_rpc_method_handler(
             servicer.StreamTurns,
             request_deserializer=pb.AudioChunk.FromString,
@@ -279,6 +299,10 @@ class STGrpcClient:
             pfx + "SpeakerTurns",
             request_serializer=pb.DecodeRequest.SerializeToString,
             response_deserializer=pb.TurnEvents.FromString)
+        self._long_form = uu(
+            pfx + "LongForm",
+            request_serializer=pb.DecodeRequest.SerializeToString,
+            response_deserializer=pb.LongFormResponse.FromString)
         self._stream_turns = self._channel.stream_stream(
             pfx + "StreamTurns",
             request_serializer=pb.AudioChunk.SerializeToString,
@@ -323,6 +347,23 @@ class STGrpcClient:
     def speaker_turns(self, wav, timeout=None) -> dict:
         ev = self._speaker_turns(self._request(wav), timeout=timeout)
         return {"turn": list(ev.turn), "xt": list(ev.xt)}
+
+    def long_form(self, wav, source_lang=None, target_lang=None,
+                  timeout=None) -> dict:
+        """Whole-conversation decode (engine.long_form) over the wire."""
+        r = self._long_form(
+            self._request(wav, source_lang, target_lang), timeout=timeout)
+        return {
+            "segments": [
+                {"start": s.start_s, "end": s.end_s,
+                 "transcription": s.transcription,
+                 "translation": s.translation}
+                for s in r.segments
+            ],
+            "transcription": r.transcription,
+            "translation": r.translation,
+            "rttm": {"turn": list(r.rttm_turn), "xt": list(r.rttm_xt)},
+        }
 
     def stream_turns(self, chunks, timeout=None) -> Iterator[dict]:
         """Stream long-form audio chunks; yields per-window event dicts."""

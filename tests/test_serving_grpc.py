@@ -106,6 +106,21 @@ class TestGrpcApi:
         assert client.speaker_turns(wav, timeout=180) == (
             engine.speaker_turns([wav])[0])
 
+    def test_long_form(self, client, engine):
+        r = np.random.default_rng(13)
+        wav = np.concatenate([
+            np.zeros(8000, np.float32),
+            (0.5 * r.standard_normal(int(0.6 * 16000))).astype(np.float32),
+            np.zeros(8000, np.float32),
+        ])
+        got = client.long_form(wav, timeout=300)
+        ref = engine.long_form(wav)
+        assert got["transcription"] == ref["transcription"]
+        assert got["translation"] == ref["translation"]
+        assert got["rttm"] == ref["rttm"]
+        assert [(s["start"], s["end"]) for s in got["segments"]] == [
+            (s["start"], s["end"]) for s in ref["segments"]]
+
     def test_concurrent_clients_coalesce(self, client, engine, rng):
         wavs = [rng.standard_normal(int(0.3 * 16000)).astype(np.float32)
                 for _ in range(4)]

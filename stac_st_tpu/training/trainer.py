@@ -20,6 +20,7 @@ Key TPU-native differences from the reference Brain:
 from __future__ import annotations
 
 import logging
+import signal
 import time
 from typing import Any, Dict, List, Optional
 
@@ -345,6 +346,35 @@ class STTrainer:
             self.hparams.get("ckpt_interval_minutes", 0) or 0
         ) * 60.0
         last_timed_ckpt = time.time()
+        # Preemption safety: TPU VMs get SIGTERM with a short grace window
+        # before eviction. Trap it for the duration of fit(): finish the
+        # in-flight step, save a resumable checkpoint, and return cleanly
+        # (resume restores params/opt state/CMVN/counters exactly —
+        # SURVEY.md §5.3). Only the main thread can set signal handlers;
+        # fit() from a worker thread keeps the previous behavior.
+        self._preempted = False
+
+        def _on_sigterm(signum, frame):
+            logger.warning("SIGTERM received — checkpointing and stopping")
+            self._preempted = True
+            if callable(prev_handler):
+                prev_handler(signum, frame)
+
+        prev_handler = None
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not in the main thread
+            prev_handler = None
+        try:
+            self._fit_epochs(
+                epoch_counter, train_set, valid_set, timer,
+                ckpt_interval, last_timed_ckpt, progress_every)
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+
+    def _fit_epochs(self, epoch_counter, train_set, valid_set, timer,
+                    ckpt_interval, last_timed_ckpt, progress_every) -> None:
         for epoch in epoch_counter:
             t_epoch = time.time()
             train_set.set_epoch(epoch)
@@ -364,6 +394,19 @@ class STTrainer:
                 )
                 losses.append(metrics["loss"])
                 timer.tick(items=float(np.sum(batch.duration)))
+                if self._preempted:
+                    if (self.checkpointer is not None
+                            and jax.process_index() == 0):
+                        self.checkpointer.save_checkpoint(
+                            meta={"preempted": True, "epoch": epoch},
+                            trees=self._checkpoint_trees(epoch),
+                        )
+                    logger.warning(
+                        "stopped by SIGTERM at epoch %d opt step %d "
+                        "(checkpoint saved — resume restores exactly)",
+                        epoch, int(self.state.optimizer_step),
+                    )
+                    return
                 if progress_every and (i + 1) % progress_every == 0:
                     stats = timer.stats()
                     logger.info(

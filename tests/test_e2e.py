@@ -397,3 +397,84 @@ class TestMixedPrecisionTraining:
                 leaf.dtype, jnp.floating
             ):
                 assert leaf.dtype == jnp.float32
+
+
+class TestPreemptionCheckpoint:
+    """SIGTERM during fit(): TPU VMs are evicted with a short grace
+    window — the trainer must finish the in-flight step, save a
+    resumable checkpoint, and return; a fresh trainer resumes exactly."""
+
+    class _SignalingLoader:
+        """Forwards a BatchLoader; raises SIGTERM in-process after the
+        Nth batch of the first epoch (deterministic preemption)."""
+
+        def __init__(self, loader, after_batches=2):
+            self.loader = loader
+            self.after = after_batches
+            self.fired = False
+
+        def set_epoch(self, epoch):
+            self.loader.set_epoch(epoch)
+
+        def __iter__(self):
+            import signal as _signal
+
+            for i, batch in enumerate(self.loader):
+                yield batch
+                if not self.fired and i + 1 >= self.after:
+                    self.fired = True
+                    _signal.raise_signal(_signal.SIGTERM)
+
+    def test_sigterm_saves_and_resumes(self, corpus, tmp_path):
+        hparams, modules = tiny_hparams(corpus, tmp_path)
+        dataset = SpeechDataset(
+            corpus["st"], tokenizer=corpus["sp"],
+            replacements={"data_root": corpus["root"]},
+        )
+        loader = self._SignalingLoader(
+            BatchLoader(dataset, batch_size=4, token_pad_multiple=16))
+        trainer = STTrainer(
+            modules=modules, opt_class=hparams["Adam"], hparams=hparams,
+            run_opts={"data_parallel_count": -1},
+            checkpointer=hparams["checkpointer"],
+        )
+        trainer.fit(EpochCounter(limit=50), loader, valid_set=None)
+        assert loader.fired
+        ckpts = hparams["checkpointer"].list_checkpoints()
+        pre = [c for c in ckpts if c.meta.get("preempted")]
+        assert pre, [c.meta for c in ckpts]
+        step_at_save = int(trainer.state.optimizer_step)
+        assert step_at_save >= 2
+
+        # a fresh trainer over the same save dir resumes the counters
+        hp2, mod2 = tiny_hparams(corpus, tmp_path)
+        hp2["checkpointer"] = hparams["checkpointer"]
+        t2 = STTrainer(
+            modules=mod2, opt_class=hp2["Adam"], hparams=hp2,
+            run_opts={"data_parallel_count": -1},
+            checkpointer=hparams["checkpointer"],
+        )
+        inner = BatchLoader(dataset, batch_size=4, token_pad_multiple=16)
+        inner.set_epoch(0)
+        batch = next(iter(inner))
+        t2.ensure_state(t2._device_batch(batch))
+        assert int(t2.state.optimizer_step) == step_at_save
+
+    def test_handler_restored_after_fit(self, corpus, tmp_path):
+        import signal as _signal
+
+        prev = _signal.getsignal(_signal.SIGTERM)
+        hparams, modules = tiny_hparams(corpus, tmp_path)
+        dataset = SpeechDataset(
+            corpus["st"], tokenizer=corpus["sp"],
+            replacements={"data_root": corpus["root"]},
+        )
+        loader = self._SignalingLoader(
+            BatchLoader(dataset, batch_size=4, token_pad_multiple=16))
+        trainer = STTrainer(
+            modules=modules, opt_class=hparams["Adam"], hparams=hparams,
+            run_opts={"data_parallel_count": -1},
+            checkpointer=hparams["checkpointer"],
+        )
+        trainer.fit(EpochCounter(limit=50), loader, valid_set=None)
+        assert _signal.getsignal(_signal.SIGTERM) == prev

@@ -103,3 +103,30 @@ def test_all_reference_yamls_load(yaml_name, overrides):
     with open(path) as f:
         h = load_hyperpyyaml(f, overrides)
     assert "tokenizer" in h
+
+
+def test_parse_arguments_routes_run_opts_vs_overrides():
+    """Every run-opt the trainer reads must be capturable from the CLI
+    (--rng_impl & co. were once silently swallowed into overrides)."""
+    from stac_st_tpu.config.arguments import parse_arguments
+
+    hf, run_opts, overrides = parse_arguments([
+        "hparams/x.yaml",
+        "--rng_impl=threefry",
+        "--train_attn_kernel=off",
+        "--pipeline_stages=2",
+        "--precision=fp32",
+        "--data_parallel_count=4",
+        "--distributed_backend=nccl",   # accepted-and-ignored GPU flag
+        "--lr_adam=0.001",              # unknown key -> hparams override
+    ])
+    assert hf == "hparams/x.yaml"
+    assert run_opts["rng_impl"] == "threefry"
+    assert run_opts["train_attn_kernel"] == "off"
+    assert run_opts["pipeline_stages"] == 2
+    assert run_opts["precision"] == "fp32"
+    assert run_opts["data_parallel_count"] == 4
+    assert run_opts["distributed_backend"] == "nccl"
+    # overrides stay raw strings; the hyperpyyaml layer types them
+    assert overrides == {"lr_adam": "0.001"}
+    assert "rng_impl" not in overrides

@@ -324,6 +324,30 @@ class STTrainer:
         # zero-length row padding so the batch divides the mesh data axis
         # (times the microbatch count when the encoder is pipelined)
         arrays = pad_batch_rows(arrays, self._row_multiple)
+        n_procs = jax.process_count()
+        if n_procs > 1:
+            # Multi-host (DCN) path: device_put cannot address other
+            # hosts' devices, so every process builds the SAME global
+            # batch (loaders are seeded identically), keeps only its
+            # process-local row slice, and assembles the global array
+            # from local shards. jax.devices() — and therefore the mesh
+            # data axis — is process-major, so process p owns the p-th
+            # contiguous row block.
+            pi = jax.process_index()
+
+            def put(v):
+                rows = v.shape[0]
+                if rows % n_procs:
+                    raise ValueError(
+                        f"batch rows {rows} not divisible by "
+                        f"{n_procs} processes")
+                per = rows // n_procs
+                return jax.make_array_from_process_local_data(
+                    self._batch_sharding, v[pi * per:(pi + 1) * per],
+                    v.shape,
+                )
+
+            return {k: put(v) for k, v in arrays.items()}
         return {
             k: jax.device_put(v, self._batch_sharding)
             for k, v in arrays.items()

@@ -22,7 +22,95 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_NUM_CPU_DEVICES", "1")
 
 
+def real_trainer_loss() -> float:
+    """One REAL STTrainer train_step on a deterministic tiny batch.
+
+    Called identically from the 2-process workers (GSPMD shards the
+    batch across hosts via ``_device_batch``'s
+    make_array_from_process_local_data path) and from a single-process
+    run (--single) — the driver asserts the losses match, i.e. the
+    multi-host step computes exactly what the single-host step does."""
+    import numpy as np
+    import jax
+
+    from stac_st_tpu.data.dataset import PaddedBatch, _PaddedPair
+    from stac_st_tpu.models import (
+        ConvolutionFrontEnd,
+        LinearHead,
+        TransformerMultiTask,
+    )
+    from stac_st_tpu.ops import Fbank
+    from stac_st_tpu.training.optim import AdamW
+    from stac_st_tpu.training.trainer import STTrainer
+
+    VOCAB = 50
+    cnn = ConvolutionFrontEnd(out_channels=(8, 8))
+    transformer = TransformerMultiTask(
+        tgt_vocab=VOCAB, input_size=20 * 8, d_model=16, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=1, d_ffn=32,
+        dropout=0.0, normalize_before=True, causal=False,
+    )
+    hparams = {
+        "compute_features": Fbank(),
+        "ctc_weight": 0.3,
+        "label_smoothing": 0.1,
+        "loss_reduction": "batchmean",
+        "pad_index": 0, "blank_index": 0, "bos_index": 1, "eos_index": 2,
+        "grad_accumulation_factor": 1,
+        "max_grad_norm": 5.0,
+        "nonfinite_patience": 10,
+        "lr_adam": 1e-3,
+        "Adam": AdamW(lr=1e-3),
+        "optimizer_step_limit": 10_000,
+    }
+    modules = {
+        "CNN": cnn, "Transformer": transformer,
+        "seq_lin": LinearHead(input_size=16, n_neurons=VOCAB),
+        "ctc_lin": LinearHead(input_size=16, n_neurons=VOCAB),
+    }
+    trainer = STTrainer(
+        modules=modules, opt_class=hparams["Adam"], hparams=hparams,
+        run_opts={"data_parallel_count": -1, "precision": "fp32",
+                  "rng_impl": "threefry"},
+    )
+    r = np.random.default_rng(7)
+    B, SAMPLES, TOK = 4, 4800, 6
+    sig = r.standard_normal((B, SAMPLES)).astype(np.float32) * 0.1
+    tokens = r.integers(3, VOCAB, (B, TOK)).astype(np.int32)
+    bos = np.concatenate(
+        [np.full((B, 1), 1, np.int32), tokens[:, :-1]], axis=1)
+    eos = np.concatenate(
+        [tokens[:, :-1], np.full((B, 1), 2, np.int32)], axis=1)
+    ones = np.ones((B,), np.float32)
+    batch = PaddedBatch(
+        id=[f"u{i}" for i in range(B)],
+        sig=_PaddedPair(sig, ones),
+        tokens=_PaddedPair(tokens, ones),
+        tokens_bos=_PaddedPair(bos, ones),
+        tokens_eos=_PaddedPair(eos, ones),
+        duration=[SAMPLES / 16000.0] * B,
+        task=["translation"] * B,
+        source_lang=["es"] * B,
+        target_lang=["en"] * B,
+    )
+    dev = trainer._device_batch(batch)
+    trainer.ensure_state(dev)
+    key = jax.random.PRNGKey(0)
+    trainer.state, metrics = trainer.train_step(
+        trainer.state, dev, key, update_cmvn=False)
+    return float(jax.device_get(metrics["loss"]))
+
+
 def main():
+    if sys.argv[1] == "--single":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 1)
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        print(f"REAL_LOSS={real_trainer_loss():.8f}", flush=True)
+        return
+
     coordinator, num_procs, proc_id = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     )
@@ -118,6 +206,11 @@ def main():
     assert np.isfinite(loss), loss
     print(f"[proc {proc_id}] sharded train step ok: loss={loss:.6f}",
           flush=True)
+
+    # ---- 4. the REAL trainer step across processes -----------------------
+    real = real_trainer_loss()
+    assert np.isfinite(real), real
+    print(f"[proc {proc_id}] REAL_LOSS={real:.8f}", flush=True)
     print(f"[proc {proc_id}] DONE loss={loss:.6f}", flush=True)
 
 

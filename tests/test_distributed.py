@@ -74,3 +74,22 @@ def test_two_process_psum_and_train_step():
         for line in combined.splitlines() if "DONE loss=" in line
     )
     assert len(losses) == 2 and losses[0] == losses[1], combined
+
+    # the REAL trainer step ran across both processes with identical
+    # (replicated) loss...
+    real = [
+        float(line.split("REAL_LOSS=")[1])
+        for line in combined.splitlines() if "REAL_LOSS=" in line
+    ]
+    assert len(real) == 2 and real[0] == real[1], combined
+
+    # ...and matches a single-process run of the same step bit-for-bit
+    # modulo reduction-order rounding (the multi-host _device_batch path
+    # must compute exactly what the single-host path computes)
+    single = subprocess.run(
+        [sys.executable, WORKER, "--single"],
+        capture_output=True, text=True, env=env, timeout=240,
+    )
+    assert single.returncode == 0, single.stdout + single.stderr
+    base = float(single.stdout.split("REAL_LOSS=")[1].split()[0])
+    assert abs(base - real[0]) < 1e-5 * max(1.0, abs(base)), (base, real)

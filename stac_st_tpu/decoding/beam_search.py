@@ -827,20 +827,25 @@ class MultiTaskBeamSearch:
                 cache_growth=self.cache_growth,
             )
 
+        from ..parallel.distributed import gather_to_host
+
         tier = self.decode_tier if self.max_decode_tokens is not None else None
         min_steps = int(self.config.min_decode_ratio * S)
         if tier is not None and min_steps < tier < max_steps:
             tokens, lengths, scores, settled = run(tier, bound_len=max_steps)
-            if not bool(np.all(np.asarray(settled))):
+            if not bool(np.all(gather_to_host(settled))):
                 # some row could still improve with more steps — rerun the
                 # full budget (settled rows reproduce identical results)
                 tokens, lengths, scores, _ = run(max_steps)
         else:
             tokens, lengths, scores, _ = run(max_steps)
-        tokens = np.asarray(tokens)
-        lengths = np.asarray(lengths)
+        # gather_to_host: on multi-host pods the outputs are sharded on
+        # the batch axis across processes; every process assembles the
+        # full arrays (single-host: plain np.asarray)
+        tokens = gather_to_host(tokens)
+        lengths = gather_to_host(lengths)
         hyps = [
             list(map(int, tokens[b, : lengths[b]]))
             for b in range(tokens.shape[0])
         ]
-        return hyps, np.asarray(scores)
+        return hyps, gather_to_host(scores)

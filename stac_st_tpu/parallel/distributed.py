@@ -17,7 +17,8 @@ from typing import Optional
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["init_distributed", "is_main_process", "process_count"]
+__all__ = ["init_distributed", "is_main_process", "process_count",
+           "gather_to_host"]
 
 _INITIALIZED = False
 
@@ -71,3 +72,24 @@ def process_count() -> int:
     import jax
 
     return jax.process_count()
+
+
+def gather_to_host(x):
+    """Fetch a (possibly cross-host-sharded) array to host numpy.
+
+    Single-host: plain ``np.asarray`` (zero overhead). Multi-host:
+    ``np.asarray`` on an array sharded across processes raises (shards on
+    other hosts are not addressable), so the global value is assembled
+    with ``multihost_utils.process_allgather`` — every process gets the
+    full array, matching the single-host semantics the metric/decode
+    host boundaries assume."""
+    import numpy as np
+
+    import jax
+
+    if jax.process_count() > 1 and isinstance(x, jax.Array) \
+            and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)

@@ -31,6 +31,7 @@ from flax import serialization
 
 from ..data.loader import BatchLoader
 from ..ops.cmvn import CmvnState
+from ..parallel.distributed import gather_to_host
 from ..parallel.mesh import batch_sharding, make_mesh
 from ..utils.recipe_io import append_4gt, append_gt_preds, print_bleu_or_wer
 from .checkpoint import average_checkpoints
@@ -557,8 +558,9 @@ class STTrainer:
             losses.append(float(loss))
             if acc is not None:
                 acc.append(
-                    np.asarray(p_seq), dev_batch["tokens_eos"],
-                    dev_batch["tokens_eos_len"],
+                    gather_to_host(p_seq),
+                    gather_to_host(dev_batch["tokens_eos"]),
+                    gather_to_host(dev_batch["tokens_eos_len"]),
                 )
             if do_search:
                 src = batch.source_lang[0]
@@ -697,8 +699,9 @@ class STTrainer:
             )
             if acc is not None and "tokens_eos" in dev_batch:
                 acc.append(
-                    np.asarray(p_seq), dev_batch["tokens_eos"],
-                    dev_batch["tokens_eos_len"],
+                    gather_to_host(p_seq),
+                    gather_to_host(dev_batch["tokens_eos"]),
+                    gather_to_host(dev_batch["tokens_eos_len"]),
                 )
             src, tgt = batch.source_lang[0], batch.target_lang[0]
             if task == "transcription":

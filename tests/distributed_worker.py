@@ -98,7 +98,23 @@ def real_trainer_loss() -> float:
     key = jax.random.PRNGKey(0)
     trainer.state, metrics = trainer.train_step(
         trainer.state, dev, key, update_cmvn=False)
-    return float(jax.device_get(metrics["loss"]))
+
+    # real beam search over the sharded encoder output: exercises the
+    # gather_to_host multi-host boundary (search outputs are sharded on
+    # the batch axis across processes)
+    from stac_st_tpu.decoding.beam_search import MultiTaskBeamSearch
+
+    searcher = MultiTaskBeamSearch(
+        [transformer, modules["seq_lin"], modules["ctc_lin"]],
+        bos_index=1, eos_index=2, blank_index=0,
+        min_decode_ratio=0.0, max_decode_ratio=1.0, beam_size=2,
+    )
+    trainer._bind_searcher(searcher)
+    searcher.set_decoder_prefix_tokens(3, 4)
+    _p_ctc, _p_seq, enc_out = trainer.eval_forward(
+        trainer.state.params, trainer.state.cmvn, dev)
+    hyps, _scores = searcher(enc_out, dev["sig_len"])
+    return float(jax.device_get(metrics["loss"])), repr(hyps)
 
 
 def main():
@@ -108,7 +124,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 1)
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-        print(f"REAL_LOSS={real_trainer_loss():.8f}", flush=True)
+        loss, hyps = real_trainer_loss()
+        print(f"REAL_LOSS={loss:.8f}", flush=True)
+        print(f"REAL_HYPS={hyps}", flush=True)
         return
 
     coordinator, num_procs, proc_id = (
@@ -207,10 +225,11 @@ def main():
     print(f"[proc {proc_id}] sharded train step ok: loss={loss:.6f}",
           flush=True)
 
-    # ---- 4. the REAL trainer step across processes -----------------------
-    real = real_trainer_loss()
+    # ---- 4. the REAL trainer step + decode across processes --------------
+    real, hyps = real_trainer_loss()
     assert np.isfinite(real), real
     print(f"[proc {proc_id}] REAL_LOSS={real:.8f}", flush=True)
+    print(f"[proc {proc_id}] REAL_HYPS={hyps}", flush=True)
     print(f"[proc {proc_id}] DONE loss={loss:.6f}", flush=True)
 
 

@@ -93,3 +93,14 @@ def test_two_process_psum_and_train_step():
     assert single.returncode == 0, single.stdout + single.stderr
     base = float(single.stdout.split("REAL_LOSS=")[1].split()[0])
     assert abs(base - real[0]) < 1e-5 * max(1.0, abs(base)), (base, real)
+
+    # beam-search hypotheses decoded over the CROSS-PROCESS-sharded
+    # encoder output (gather_to_host assembles them on every process)
+    # equal the single-process decode token-for-token
+    hyps = [
+        line.split("REAL_HYPS=")[1]
+        for line in combined.splitlines() if "REAL_HYPS=" in line
+    ]
+    base_hyps = single.stdout.split("REAL_HYPS=")[1].splitlines()[0]
+    assert len(hyps) == 2 and hyps[0] == hyps[1] == base_hyps, (
+        hyps, base_hyps)

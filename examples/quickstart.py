@@ -155,6 +155,19 @@ def main():
     asr, st = engine.transcribe_and_translate([wav])
     print(f"   transcribe_and_translate([wav]) -> ({asr[0]!r}, {st[0]!r})"
           "  (one encoder pass + one fused dual-prompt search)")
+
+    print("== 7. long-form: whole conversation in one call")
+    # two utterances separated by silence — VAD segments, the fused
+    # dual search decodes every segment, texts merge with absolute-time
+    # RTTM (the reference's shell pipeline as engine.long_form)
+    gap = np.zeros(8000, np.float32)
+    conversation = np.concatenate(
+        [gap, dataset[0]["sig"], gap, dataset[1]["sig"], gap])
+    result = engine.long_form(conversation, uri="demo")
+    for seg in result["segments"]:
+        print(f"   [{seg['start']:5.2f}-{seg['end']:5.2f}s] "
+              f"asr={seg['transcription']!r}")
+    print(f"   merged translation: {result['translation']!r}")
     print("quickstart complete.")
 
 

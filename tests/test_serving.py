@@ -317,6 +317,19 @@ class TestMeshServing:
         # batch axis; GSPMD must propagate the sharding through concat
         dual_m = meshed.transcribe_and_translate(wavs)
         assert dual_m == (asr_p, st_p)
+        # long-form under the mesh: the dual+CTC fused program runs on
+        # sharded segment batches; merged output must match single-device
+        r = np.random.default_rng(14)
+        conv = np.concatenate([
+            np.zeros(8000, np.float32),
+            (0.5 * r.standard_normal(9600)).astype(np.float32),
+            np.zeros(8000, np.float32),
+            (0.5 * r.standard_normal(8000)).astype(np.float32),
+            np.zeros(8000, np.float32),
+        ])
+        lf_m = meshed.long_form(conv)
+        lf_p = plain.long_form(conv)
+        assert lf_m == lf_p
 
 
 class TestPcm16Transfer:

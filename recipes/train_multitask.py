@@ -149,6 +149,17 @@ def main(argv):
         run_opts=run_opts,
         checkpointer=hparams.get("checkpointer"),
     )
+    import jax
+
+    if jax.process_count() > 1:
+        # multi-host pods: every process iterates the same global batch
+        # composition but decodes audio only for its own row block (the
+        # block _device_batch ships to its local devices)
+        for name in ("train", "valid"):
+            loaders[name].set_shard(
+                jax.process_index(), jax.process_count(),
+                trainer._row_multiple,
+            )
     trainer.fit(
         hparams["epoch_counter"], loaders["train"], loaders["valid"]
     )

@@ -116,9 +116,26 @@ class SpeechDataset:
         return self.data[self.ids[index]]
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
+        return self.sample(index)
+
+    def sample(self, index: int, skip_audio: bool = False,
+               audio_cap: Optional[int] = None) -> Dict[str, Any]:
+        """One sample; ``skip_audio=True`` replaces the (expensive) audio
+        decode with a zero waveform of the manifest-duration length
+        (capped at ``audio_cap`` samples) — used by shard-aware loaders
+        on multi-host pods, where a process only needs real audio for
+        its own row block (everything else about the sample — tokens,
+        text references, metadata, the speed-perturb RNG draw — stays
+        identical so batch composition matches the unsharded run)."""
         utt_id = self.ids[index]
         entry = self.data[utt_id]
-        sig = self._load_audio(entry)
+        if skip_audio and "duration" in entry:
+            n = int(round(float(entry["duration"]) * self.sample_rate))
+            if audio_cap is not None:
+                n = min(n, int(audio_cap))
+            sig = np.zeros((max(n, 1),), np.float32)
+        else:
+            sig = self._load_audio(entry)
         sample: Dict[str, Any] = {
             "id": utt_id,
             "sig": sig,

@@ -55,6 +55,30 @@ class BatchLoader:
         self.num_workers = int(num_workers)
         self.epoch = 0
         self.order = None  # fixed index order (sorting modes)
+        self._shard = None  # (process_index, process_count, row_multiple)
+
+    def set_shard(self, index: int, count: int, row_multiple: int) -> None:
+        """Multi-host IO sharding: decode audio only for this process's
+        row block of each GLOBAL batch.
+
+        Every process iterates the same (identically-seeded) sampler and
+        builds the same batch composition, but rows outside
+        ``[index·per, (index+1)·per)`` — ``per`` computed after padding
+        the row count to ``row_multiple`` (the trainer's mesh multiple,
+        so blocks line up with ``_device_batch``'s process slices) — get
+        zero audio of the manifest-duration length instead of a decode.
+        Tokens/text/metadata stay real for every row (metrics need
+        them). Effective only for bucket-sampled loading, where the
+        audio width is fixed by the bucket rather than the decoded
+        lengths; otherwise full decode is kept (correctness first).
+        """
+        if not (0 <= index < count):
+            raise ValueError(f"shard index {index} not in [0, {count})")
+        if row_multiple % count:
+            raise ValueError(
+                f"row_multiple {row_multiple} not divisible by "
+                f"shard count {count}")
+        self._shard = (int(index), int(count), int(row_multiple))
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = int(epoch)
@@ -79,11 +103,24 @@ class BatchLoader:
             yield chunk
 
     def _make_batch(self, indices) -> PaddedBatch:
-        samples = [self.dataset[i] for i in indices]
         width = None
         if self.sampler is not None:
             spec = self.sampler.bucket_of(indices[0])
             width = int(np.ceil(spec.boundary * self.sample_rate))
+        if self._shard is not None and width is not None:
+            pi, count, mult = self._shard
+            n = len(indices)
+            padded = -(-n // mult) * mult
+            per = padded // count
+            lo, hi = pi * per, (pi + 1) * per
+            samples = [
+                self.dataset[i] if lo <= pos < hi
+                else self.dataset.sample(i, skip_audio=True,
+                                         audio_cap=width)
+                for pos, i in enumerate(indices)
+            ]
+        else:
+            samples = [self.dataset[i] for i in indices]
         return collate_batch(
             samples,
             audio_pad_samples=width,

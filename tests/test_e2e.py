@@ -478,3 +478,60 @@ class TestPreemptionCheckpoint:
         )
         trainer.fit(EpochCounter(limit=50), loader, valid_set=None)
         assert _signal.getsignal(_signal.SIGTERM) == prev
+
+
+class TestShardedLoader:
+    """Multi-host IO sharding (BatchLoader.set_shard): every process
+    builds the same global batch composition but decodes audio only for
+    its own row block — the block _device_batch ships to local devices."""
+
+    @staticmethod
+    def _loaders(corpus, shard=None):
+        from stac_st_tpu.data.sampler import DynamicBatchSampler
+
+        ds = SpeechDataset(
+            corpus["st"], tokenizer=corpus["sp"],
+            replacements={"data_root": corpus["root"]},
+        )
+        sampler = DynamicBatchSampler(
+            ds.durations(), max_batch_length=4.0, num_buckets=4,
+            shuffle=False, batch_ordering="ascending",
+        )
+        loader = BatchLoader(ds, sampler=sampler)
+        if shard is not None:
+            loader.set_shard(*shard)
+        loader.set_epoch(0)
+        return loader
+
+    def test_shard_blocks_reassemble_the_full_batch(self, corpus):
+        full = list(self._loaders(corpus))
+        mult = 2  # trainer row multiple for a 2-process run
+        shard0 = list(self._loaders(corpus, shard=(0, 2, mult)))
+        shard1 = list(self._loaders(corpus, shard=(1, 2, mult)))
+        assert len(full) == len(shard0) == len(shard1) > 0
+        for b, s0, s1 in zip(full, shard0, shard1):
+            # identical composition and static shapes everywhere
+            assert s0.id == s1.id == b.id
+            assert s0.sig.data.shape == s1.sig.data.shape == b.sig.data.shape
+            np.testing.assert_array_equal(s0.tokens.data, b.tokens.data)
+            np.testing.assert_array_equal(s1.tokens_eos.data,
+                                          b.tokens_eos.data)
+            # each process's block carries the REAL audio; the union of
+            # blocks covers every real row
+            n = len(b.id)
+            padded = -(-n // mult) * mult
+            per = padded // 2
+            for pos in range(n):
+                owner = s0 if pos < per else s1
+                other = s1 if pos < per else s0
+                np.testing.assert_array_equal(
+                    owner.sig.data[pos], b.sig.data[pos])
+                # non-owner rows are zero audio (decode skipped)
+                assert float(np.abs(other.sig.data[pos]).max()) == 0.0
+
+    def test_shard_validation(self, corpus):
+        loader = self._loaders(corpus)
+        with pytest.raises(ValueError):
+            loader.set_shard(2, 2, 4)
+        with pytest.raises(ValueError):
+            loader.set_shard(0, 3, 4)  # multiple not divisible

@@ -108,11 +108,10 @@ class BatchLoader:
             spec = self.sampler.bucket_of(indices[0])
             width = int(np.ceil(spec.boundary * self.sample_rate))
         if self._shard is not None and width is not None:
+            from ..parallel.distributed import process_row_block
+
             pi, count, mult = self._shard
-            n = len(indices)
-            padded = -(-n // mult) * mult
-            per = padded // count
-            lo, hi = pi * per, (pi + 1) * per
+            lo, hi = process_row_block(len(indices), mult, pi, count)
             samples = [
                 self.dataset[i] if lo <= pos < hi
                 else self.dataset.sample(i, skip_audio=True,

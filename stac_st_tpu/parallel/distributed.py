@@ -18,7 +18,25 @@ from typing import Optional
 logger = logging.getLogger(__name__)
 
 __all__ = ["init_distributed", "is_main_process", "process_count",
-           "gather_to_host"]
+           "gather_to_host", "process_row_block"]
+
+
+def process_row_block(n_rows: int, row_multiple: int,
+                      index: int, count: int):
+    """The (lo, hi) row block process ``index`` owns in a global batch.
+
+    Single source of truth for multi-host row partitioning: the trainer
+    pads the batch to ``row_multiple`` (the mesh data-axis multiple) and
+    ships rows [lo, hi) to its local devices (``_device_batch``), and
+    the shard-aware loader decodes audio only for the same block
+    (``BatchLoader.set_shard``) — both MUST agree or a host would ship
+    zeros where real audio belongs."""
+    if row_multiple % count:
+        raise ValueError(
+            f"row_multiple {row_multiple} not divisible by count {count}")
+    padded = -(-int(n_rows) // int(row_multiple)) * int(row_multiple)
+    per = padded // int(count)
+    return index * per, (index + 1) * per
 
 _INITIALIZED = False
 

@@ -334,18 +334,18 @@ class STTrainer:
             # from local shards. jax.devices() — and therefore the mesh
             # data axis — is process-major, so process p owns the p-th
             # contiguous row block.
+            from ..parallel.distributed import process_row_block
+
             pi = jax.process_index()
 
             def put(v):
-                rows = v.shape[0]
-                if rows % n_procs:
-                    raise ValueError(
-                        f"batch rows {rows} not divisible by "
-                        f"{n_procs} processes")
-                per = rows // n_procs
+                # rows were just padded to _row_multiple, so this block
+                # matches the one BatchLoader.set_shard decoded audio
+                # for (process_row_block is the shared source of truth)
+                lo, hi = process_row_block(
+                    v.shape[0], self._row_multiple, pi, n_procs)
                 return jax.make_array_from_process_local_data(
-                    self._batch_sharding, v[pi * per:(pi + 1) * per],
-                    v.shape,
+                    self._batch_sharding, v[lo:hi], v.shape,
                 )
 
             return {k: put(v) for k, v in arrays.items()}

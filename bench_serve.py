@@ -16,7 +16,9 @@ coalescing ``StreamingFrontEnd`` → bucketed TPU calls. This driver:
 
 Env knobs: STAC_SERVE_CLIENTS (default 16), STAC_SERVE_SECONDS (default
 45 s of load), STAC_SERVE_NOTRAIN=1 (skip the training phase),
-STAC_SERVE_MAXBATCH (default 16).
+STAC_SERVE_MAXBATCH (default 16), STAC_SERVE_TRANSPORT=http|grpc (same
+engine and front end behind either ingress, so the pair of runs
+isolates transport overhead).
 """
 
 import base64
@@ -163,6 +165,10 @@ def main():
     n_clients = int(os.environ.get("STAC_SERVE_CLIENTS", "16"))
     load_seconds = float(os.environ.get("STAC_SERVE_SECONDS", "45"))
     max_batch = int(os.environ.get("STAC_SERVE_MAXBATCH", "16"))
+    # STAC_SERVE_TRANSPORT: http (default) | grpc — same engine, same
+    # coalescing front end, different ingress, so the two runs isolate
+    # transport overhead (JSON+base64+HTTP vs protobuf+HTTP/2).
+    transport = os.environ.get("STAC_SERVE_TRANSPORT", "http").lower()
 
     engine, wav_bank = _build_trained_engine()
     payloads = {}
@@ -195,16 +201,32 @@ def main():
           flush=True)
 
     front = StreamingFrontEnd(engine, max_batch=max_batch, max_wait_ms=20)
-    server = STHttpServer(front, host="127.0.0.1", port=0).start()
+    if transport == "grpc":
+        from stac_st_tpu.serving_grpc import STGrpcClient, STGrpcServer
+
+        server = STGrpcServer(front, port=0,
+                              max_workers=max(32, n_clients)).start()
+    else:
+        server = STHttpServer(front, host="127.0.0.1", port=0).start()
     port = server.port
+    # per-duration raw waveforms for the gRPC clients (the HTTP payloads
+    # above carry the same audio as PCM16+base64 JSON)
+    grpc_wavs = {d: np.ascontiguousarray(
+        wav_bank[j % len(wav_bank), : int(d * SR)], np.float32)
+        for j, d in enumerate(DURATIONS)}
 
     # ---- warmup: compile every bucket before the timed window ------------
     for d in DURATIONS:
-        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
-        conn.request("POST", "/v1/translate", payloads[d],
-                     {"Content-Type": "application/json"})
-        assert conn.getresponse().read()
-        conn.close()
+        if transport == "grpc":
+            with STGrpcClient(f"127.0.0.1:{port}") as c:
+                r = c.translate(grpc_wavs[d], "es", "en", timeout=600)
+                assert isinstance(r, str)  # empty hyp is still a 200
+        else:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            conn.request("POST", "/v1/translate", payloads[d],
+                         {"Content-Type": "application/json"})
+            assert conn.getresponse().read()
+            conn.close()
     print("# warmup done", flush=True)
     hist0 = front.batch_histogram()
 
@@ -213,7 +235,30 @@ def main():
     latencies, done_audio = [], [0.0]
     errors = [0]
 
-    def client(i):
+    def client_grpc(i):
+        c = STGrpcClient(f"127.0.0.1:{port}")
+        k = i
+        while not stop.is_set():
+            d = DURATIONS[k % len(DURATIONS)]
+            k += 1
+            t0 = time.perf_counter()
+            try:
+                # a completed RPC counts as served regardless of hyp
+                # length (matches the HTTP path's status==200 criterion)
+                c.translate(grpc_wavs[d], "es", "en", timeout=600)
+                ok = True
+            except Exception:
+                ok = False
+            dt = time.perf_counter() - t0
+            with lock:
+                if ok:
+                    latencies.append(dt)
+                    done_audio[0] += d
+                else:
+                    errors[0] += 1
+        c.close()
+
+    def client_http(i):
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
         k = i
         while not stop.is_set():
@@ -240,6 +285,8 @@ def main():
                     errors[0] += 1
         conn.close()
 
+    client = client_grpc if transport == "grpc" else client_http
+
     threads = [threading.Thread(target=client, args=(i,), daemon=True)
                for i in range(n_clients)]
     t_start = time.perf_counter()
@@ -260,7 +307,7 @@ def main():
 
     lat = np.asarray(sorted(latencies))
     out = {
-        "metric": "served_rtfx_http",
+        "metric": f"served_rtfx_{transport}",
         "value": round(done_audio[0] / elapsed, 2),
         "unit": "x_realtime_per_chip_served",
         "clients": n_clients,

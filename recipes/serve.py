@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import signal
 import threading
 
@@ -71,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(halves its per-step HBM reads; docs/PERF.md)")
     p.add_argument("--max-wait-ms", type=float, default=20.0)
     p.add_argument("--request-timeout", type=float, default=300.0)
+    p.add_argument("--compile-cache", default="auto",
+                   help="persistent XLA compilation cache: 'auto' "
+                        "(default; <experiment_dir>/compile_cache — a "
+                        "restarted server skips its whole bucket-grid "
+                        "compile), 'off', or an explicit directory "
+                        "shared across experiments")
     p.add_argument("--log-level", default="INFO")
     return p
 
@@ -93,6 +100,13 @@ def start_servers(args):
     """
     from stac_st_tpu.serving import STEngine
     from stac_st_tpu.serving_stream import StreamingFrontEnd
+
+    if args.compile_cache != "off":
+        from stac_st_tpu.utils.compile_cache import enable_compile_cache
+
+        cache_dir = (os.path.join(args.experiment_dir, "compile_cache")
+                     if args.compile_cache == "auto" else args.compile_cache)
+        enable_compile_cache(cache_dir)
 
     kw = dict(
         source_lang=args.source_lang,

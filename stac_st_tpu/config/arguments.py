@@ -31,6 +31,7 @@ RUN_OPT_DEFAULTS: Dict[str, Any] = {
     "rng_impl": "rbg",                  # rbg | unsafe_rbg | threefry
     "train_attn_kernel": "auto",        # auto | on | off (flash train attn)
     "pipeline_stages": 0,               # >0 => pipeline-parallel encoder
+    "compile_cache_dir": "",            # non-empty => persistent XLA cache
     "noprogressbar": False,
     "profile_dir": "",                  # non-empty => jax.profiler traces
     "local_rank": 0,                    # accepted/ignored

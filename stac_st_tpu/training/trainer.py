@@ -209,6 +209,14 @@ class STTrainer:
             _pallas.enable_train()
             logger.info("flash-attention training kernel enabled "
                         "(train_attn_kernel=%s)", tak)
+        # run_opt compile_cache_dir: persistent XLA compilation cache so
+        # a preemption-resume restart (the SIGTERM trap below) re-enters
+        # the hot loop without repaying the per-bucket step compiles.
+        cache_dir = self.run_opts.get("compile_cache_dir")
+        if cache_dir:
+            from ..utils.compile_cache import enable_compile_cache
+
+            enable_compile_cache(str(cache_dir))
         self._rng = jax.random.PRNGKey(int(h.get("seed", 8886)))
         self.train_stats: Dict[str, float] = {}
         self.debug = bool(self.run_opts.get("debug", False))

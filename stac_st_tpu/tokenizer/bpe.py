@@ -34,6 +34,59 @@ __all__ = ["BpeEncoder", "normalize_text", "SPACE"]
 SPACE = "▁"  # ▁
 UNK_SURFACE = " ⁇ "  # " ⁇ "
 
+# SentencePiece's default normalizer is "nmt_nfkc": the Unicode NFKC
+# charsmap plus NMT-specific overrides (reference semantics:
+# sentencepiece src/builder.cc BuildNmtNFKCMap). The overrides, applied
+# per code point BEFORE NFKC (no NFKC mapping produces any of these
+# code points, so pre/post application is equivalent to spm's single
+# combined longest-match map):
+#   * control characters are REMOVED,
+#   * assorted separators/markers fold to ASCII space — including
+#     U+2581 LOWER ONE EIGHTH BLOCK, which is why raw text can never
+#     collide with the ▁ space marker,
+#   * U+FF5E FULLWIDTH TILDE keeps its identity (spm erases the
+#     NFKC FF5E→007E rule: full/half-width tildes differ in Japanese).
+_NMT_REMOVE = frozenset(
+    list(range(0x0001, 0x0009))      # C0 controls below TAB
+    + [0x000B]                       # VERTICAL TAB
+    + list(range(0x000E, 0x0020))    # SO..US (incl. FS/GS/RS/US)
+    + [0x007F, 0x008F, 0x009F]       # DEL + two C1 controls
+)
+_NMT_TO_SPACE = frozenset(
+    [0x0009, 0x000A, 0x000C, 0x000D,  # TAB LF FF CR
+     0x1680,                          # OGHAM SPACE MARK
+     0x2028, 0x2029,                  # LINE / PARAGRAPH SEPARATOR
+     0x2581,                          # LOWER ONE EIGHTH BLOCK (the marker)
+     0xFEFF, 0xFFFD]                  # BOM, REPLACEMENT CHARACTER
+    + list(range(0x200B, 0x2010))     # ZWSP ZWNJ ZWJ LRM RLM
+)
+_FULLWIDTH_TILDE = 0xFF5E
+
+
+def _nmt_nfkc(text: str) -> str:
+    """The nmt_nfkc charsmap: NMT overrides + NFKC, FF5E preserved.
+
+    FF5E is kept verbatim by normalizing the runs between occurrences
+    (exact: FF5E is not a composition base, so splitting cannot change
+    any neighbouring NFKC result).
+    """
+    parts: List[str] = []
+    buf: List[str] = []
+    for ch in text:
+        cp = ord(ch)
+        if cp in _NMT_REMOVE:
+            continue
+        if cp in _NMT_TO_SPACE:
+            buf.append(" ")
+        elif cp == _FULLWIDTH_TILDE:
+            parts.append(unicodedata.normalize("NFKC", "".join(buf)))
+            buf = []
+            parts.append("～")
+        else:
+            buf.append(ch)
+    parts.append(unicodedata.normalize("NFKC", "".join(buf)))
+    return "".join(parts)
+
 
 def normalize_text(
     text: str,
@@ -41,10 +94,14 @@ def normalize_text(
     remove_extra_whitespaces: bool = True,
     escape_whitespace: bool = True,
 ) -> str:
-    """SentencePiece nmt_nfkc-style normalization."""
-    text = unicodedata.normalize("NFKC", text)
-    # unify unicode spaces to ASCII space
-    text = "".join(" " if ch.isspace() else ch for ch in text)
+    """SentencePiece nmt_nfkc normalization + whitespace treatment.
+
+    After the charsmap every whitespace is a literal U+0020 (NFKC folds
+    the Unicode space family to it; the NMT overrides fold the rest) —
+    matching spm, code points it leaves alone (e.g. U+0085 NEL) stay in
+    words rather than splitting them.
+    """
+    text = _nmt_nfkc(text)
     if remove_extra_whitespaces:
         text = " ".join(t for t in text.split(" ") if t != "")
     if not text:

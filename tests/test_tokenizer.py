@@ -117,3 +117,58 @@ def test_speechbrain_wrapper_trains_from_json(tmp_path):
 def test_unknown_chars_map_to_unk(enc):
     ids = enc.encode_as_ids("日本語")
     assert all(i == 0 for i in ids if enc.id_to_piece(i) not in ("▁",))
+
+
+class TestNmtNfkcNormalization:
+    """Exact nmt_nfkc charsmap semantics (spm src/builder.cc
+    BuildNmtNFKCMap): NFKC + NMT overrides, FF5E preserved."""
+
+    def test_nfkc_compatibility_folding(self):
+        from stac_st_tpu.tokenizer import normalize_text
+        assert normalize_text("ﬁn…") == "▁fin..."  # fi-lig, ellipsis
+        assert normalize_text("ａｂｃ") == "▁abc"  # fullwidth
+
+    def test_unicode_space_family_folds_to_space(self):
+        from stac_st_tpu.tokenizer import normalize_text
+        # NFKC side: NBSP, EN/EM spaces, ideographic space
+        assert normalize_text("a b c　d") == "▁a▁b▁c▁d"
+        # NMT side: tab/newline/CR, line+paragraph seps, ogham, BOM,
+        # replacement char, zero-width family (ZWSP ZWNJ ZWJ LRM RLM)
+        s = ("a\tb\nc\rd e f g﻿h�"
+             "i​j‌k‍l‎m‏n")
+        assert normalize_text(s) == "▁" + "▁".join("abcdefghijklmn")
+
+    def test_lower_one_eighth_block_cannot_collide_with_marker(self):
+        from stac_st_tpu.tokenizer import normalize_text
+        # raw U+2581 in input folds to space, so ▁ in normalized output
+        # ALWAYS means word boundary (spm invariant)
+        assert normalize_text("a▁b") == "▁a▁b"
+
+    def test_control_characters_removed(self):
+        from stac_st_tpu.tokenizer import normalize_text
+        assert normalize_text("a\x01\x02b\x0bc\x1fd\x7fe") == "▁abcde"
+        # FS/GS/RS/US are REMOVED (python str.isspace is True for them,
+        # but the nmt map deletes the 0x0E-0x1F range)
+        assert normalize_text("a\x1cb\x1dc") == "▁abc"
+        assert normalize_text("\x01\x02") == ""
+
+    def test_fullwidth_tilde_preserved(self):
+        import unicodedata
+
+        from stac_st_tpu.tokenizer import normalize_text
+        # plain NFKC folds FF5E to ASCII '~'; nmt_nfkc erases that rule
+        assert unicodedata.normalize("NFKC", "～") == "~"
+        assert normalize_text("a～b") == "▁a～b"
+
+    def test_nel_stays_in_word(self):
+        from stac_st_tpu.tokenizer import normalize_text
+        # U+0085 NEL has no nmt_nfkc entry: it stays put (does not
+        # split words), matching spm rather than python str.isspace
+        assert normalize_text("a\x85b") == "▁a\x85b"
+
+    def test_whitespace_squeeze_and_dummy_prefix(self):
+        from stac_st_tpu.tokenizer import normalize_text
+        assert normalize_text("  hola   como  ") == "▁hola▁como"
+        assert normalize_text("hola", add_dummy_prefix=False) == "hola"
+        assert normalize_text("a  b", remove_extra_whitespaces=False,
+                              add_dummy_prefix=False) == "a▁▁b"

@@ -79,7 +79,11 @@ def run_split(trainer, hparams, json_path: str) -> None:
         n = len(batch.id)
 
         if hparams.get("get_rttm_files", False) and p_ctc is not None:
-            ctc_argmax = np.asarray(p_ctc.argmax(-1))[:n]
+            from stac_st_tpu.parallel.distributed import gather_to_host
+
+            # p_ctc is batch-sharded across processes on multi-host
+            # runs; plain np.asarray would raise (not fully addressable)
+            ctc_argmax = gather_to_host(p_ctc.argmax(-1))[:n]
             events = extract_turn_events(
                 batch.id, ctc_argmax,
                 {"turn": special["[turn]"], "xt": special["[xt]"]},

@@ -78,6 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "restarted server skips its whole bucket-grid "
                         "compile), 'off', or an explicit directory "
                         "shared across experiments")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip compiling the (bucket x pad-rung) program "
+                        "grid before binding ports (default: warm it, so "
+                        "no request ever pays a compile; with "
+                        "--compile-cache the warmup reloads executables "
+                        "instead of compiling)")
+    p.add_argument("--warmup-dual", action="store_true",
+                   help="also warm the fused dual-prompt (ASR+ST) "
+                        "program per shape (for /v1/transcribe_translate "
+                        "traffic)")
     p.add_argument("--log-level", default="INFO")
     return p
 
@@ -128,21 +138,38 @@ def start_servers(args):
 
         devs = jax.devices()
         n = len(devs) if args.data_parallel == -1 else args.data_parallel
-        if not 1 < n <= len(devs):
+        if not 1 <= n <= len(devs):
             raise SystemExit(
                 f"--data-parallel {args.data_parallel}: need a value in "
                 f"[2, {len(devs)}] (or -1 for all devices); "
                 f"{len(devs)} device(s) visible"
             )
-        mesh_devs = devs[:n]
-        kw["mesh"] = Mesh(np.asarray(mesh_devs), ("data",))
-        logger.info("fleet serving over %d devices", len(mesh_devs))
+        if n > 1:
+            mesh_devs = devs[:n]
+            kw["mesh"] = Mesh(np.asarray(mesh_devs), ("data",))
+            logger.info("fleet serving over %d devices", len(mesh_devs))
+        else:
+            # -1 on a single-device host: serve without a mesh rather
+            # than abort — "-1" means "use whatever is there"
+            logger.info("fleet serving requested but 1 device visible; "
+                        "serving single-device")
     if args.avg_checkpoints is not None:
         kw["avg_checkpoints"] = args.avg_checkpoints
     logger.info("loading experiment %s", args.experiment_dir)
     engine = STEngine.from_saved_experiment(
         args.experiment_dir, tokenizer_file=args.tokenizer, **kw
     )
+
+    if not getattr(args, "no_warmup", False):
+        # compile (or cache-load) every (bucket x rung) program BEFORE
+        # binding ports: otherwise the first request on each shape pays
+        # the full fused compile and early traffic stalls behind it
+        import time as _time
+
+        t0 = _time.time()
+        n = engine.warmup(dual=getattr(args, "warmup_dual", False))
+        logger.info("warmed %d (bucket x rung) shapes in %.1fs",
+                    n, _time.time() - t0)
 
     # one front end shared by every transport: concurrent clients coalesce
     # into the same bucketed TPU calls regardless of protocol

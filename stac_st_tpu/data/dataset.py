@@ -102,6 +102,10 @@ class SpeechDataset:
         self.include_xt = include_xt
         self.include_turn = include_turn
         self.text_keys = tuple(text_keys)
+        # epoch feeds the per-utterance speed-perturb key (loader
+        # set_epoch keeps it current) so speeds redraw each epoch yet
+        # stay invariant to decode order, worker count, and host count
+        self.epoch = 0
 
     # ------------------------------------------------------------- protocol
     def __len__(self) -> int:
@@ -122,20 +126,35 @@ class SpeechDataset:
                audio_cap: Optional[int] = None) -> Dict[str, Any]:
         """One sample; ``skip_audio=True`` replaces the (expensive) audio
         decode with a zero waveform of the manifest-duration length
-        (capped at ``audio_cap`` samples) — used by shard-aware loaders
-        on multi-host pods, where a process only needs real audio for
-        its own row block (everything else about the sample — tokens,
-        text references, metadata, the speed-perturb RNG draw — stays
-        identical so batch composition matches the unsharded run)."""
+        (speed-perturb-scaled when perturb is active, else capped at
+        ``audio_cap`` samples) — used by shard-aware loaders on
+        multi-host pods, where a process only needs real audio for its
+        own row block. Everything else about the sample — tokens, text
+        references, metadata, and the per-utterance speed draw (keyed
+        by (epoch, row), not drawn from a sequential stream) — is
+        computed identically, so batch composition matches the
+        unsharded run regardless of host/worker count."""
         utt_id = self.ids[index]
         entry = self.data[utt_id]
+        # per-utterance speed draw, keyed by (epoch, row) so every
+        # process/worker computes the SAME speed for a row whether or
+        # not it decodes the audio (multi-host composition parity)
+        key = (self.epoch, index)
+        host_perturb = self.speed_perturb is not None and not getattr(
+            self.speed_perturb, "device", False
+        )
+        speed = self.speed_perturb.speed_for(key) if host_perturb else None
         if skip_audio and "duration" in entry:
             n = int(round(float(entry["duration"]) * self.sample_rate))
-            if audio_cap is not None:
+            if speed is not None:
+                # stand-in length must match the owning host's REAL
+                # perturbed length, or padded widths desync across hosts
+                n = self.speed_perturb.perturbed_len(n, speed)
+            elif audio_cap is not None:
                 n = min(n, int(audio_cap))
             sig = np.zeros((max(n, 1),), np.float32)
         else:
-            sig = self._load_audio(entry)
+            sig = self._load_audio(entry, speed=speed)
         sample: Dict[str, Any] = {
             "id": utt_id,
             "sig": sig,
@@ -147,8 +166,9 @@ class SpeechDataset:
         if self.speed_perturb is not None and getattr(
             self.speed_perturb, "device", False
         ):
-            # device-side perturb: host only samples the speed
-            sample["speed_idx"] = self.speed_perturb.sample_index()
+            # device-side perturb: host only samples the speed (keyed,
+            # same order-invariance contract as the host path)
+            sample["speed_idx"] = self.speed_perturb.index_for(key)
         if self.tokenizer is not None:
             sample.update(
                 build_target_ids(
@@ -161,7 +181,8 @@ class SpeechDataset:
                 sample[key] = entry[key]
         return sample
 
-    def _load_audio(self, entry: Dict[str, Any]) -> np.ndarray:
+    def _load_audio(self, entry: Dict[str, Any],
+                    speed: Optional[int] = None) -> np.ndarray:
         parts = [
             read_audio(p, sample_rate=self.sample_rate)[0]
             for p in wav_paths(entry)
@@ -170,7 +191,9 @@ class SpeechDataset:
         if self.speed_perturb is not None and not getattr(
             self.speed_perturb, "device", False
         ):
-            sig = self.speed_perturb(sig)
+            # speed comes from sample()'s keyed draw; None only on
+            # direct _load_audio calls (legacy sequential draw)
+            sig = self.speed_perturb(sig, speed=speed)
         return np.asarray(sig, np.float32)
 
 
@@ -211,7 +234,14 @@ def collate_batch(
     sigs = [s["sig"] for s in samples]
     max_sig = max(len(x) for x in sigs)
     width = audio_pad_samples or _pad_to(max_sig, 8000)
-    width = max(width, max_sig)
+    if max_sig > width:
+        # bucket overflow (host-side speed perturb lengthens 90%-speed
+        # rows past the boundary): snap to the 0.5 s grid so the
+        # widened shape is stable across hosts (small decode-length
+        # skew between a real row and its zero stand-in on another
+        # host must not change the padded width) and so overflow
+        # shapes stay compile-count-bounded
+        width = _pad_to(max_sig, 8000)
 
     has_tokens = "tokens" in samples[0]
     if has_tokens:

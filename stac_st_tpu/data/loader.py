@@ -82,6 +82,8 @@ class BatchLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = int(epoch)
+        # the dataset's epoch keys the per-utterance speed-perturb draw
+        self.dataset.epoch = int(epoch)
         if self.sampler is not None:
             self.sampler.set_epoch(epoch)
 

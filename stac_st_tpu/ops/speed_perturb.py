@@ -36,10 +36,31 @@ class SpeedPerturb:
         # the recorded global seed, not from OS entropy.
         from ..utils.seeding import get_seed
 
-        self._rng = np.random.default_rng(get_seed())
+        self._seed = int(get_seed())
+        self._rng = np.random.default_rng(self._seed)
 
     def seed(self, seed: int) -> None:
+        self._seed = int(seed)
         self._rng = np.random.default_rng(seed)
+
+    def speed_for(self, key) -> int:
+        """Deterministic per-utterance speed, keyed by e.g. (epoch, row).
+
+        Counter-based rather than stream-based so the draw is invariant
+        to decode order — identical under loader worker threads and on
+        every host of a pod (shard-aware loaders skip non-owned audio
+        decodes entirely, so a sequential stream would desync)."""
+        r = np.random.default_rng((self._seed, *np.atleast_1d(key)))
+        return self.speeds[int(r.integers(len(self.speeds)))]
+
+    def perturbed_len(self, n: int, speed: int) -> int:
+        """Output length of ``__call__`` on an ``n``-sample signal (the
+        polyphase resampler's ceil(n·up/down) with the gcd reduced)."""
+        if speed == 100:
+            return int(n)
+        g = gcd(100, int(speed))
+        up, down = 100 // g, int(speed) // g
+        return -(-int(n) * up // down)
 
     def __call__(self, wav: np.ndarray, speed: Optional[int] = None):
         """wav: (L,) float array -> perturbed (L',) float32 array."""
@@ -122,13 +143,21 @@ class DeviceSpeedPerturb:
         self.speeds = [int(s) for s in (speeds or [90, 100, 110])]
         from ..utils.seeding import get_seed
 
-        self._rng = np.random.default_rng(get_seed())
+        self._seed = int(get_seed())
+        self._rng = np.random.default_rng(self._seed)
 
     def seed(self, seed: int) -> None:
+        self._seed = int(seed)
         self._rng = np.random.default_rng(seed)
 
     def sample_index(self) -> int:
         return int(self._rng.integers(len(self.speeds)))
+
+    def index_for(self, key) -> int:
+        """Deterministic per-utterance speed index (see
+        :meth:`SpeedPerturb.speed_for` for why counter-based)."""
+        r = np.random.default_rng((self._seed, *np.atleast_1d(key)))
+        return int(r.integers(len(self.speeds)))
 
     def out_width(self, in_width: int) -> int:
         """Static output width: worst-case (slowest speed) length."""

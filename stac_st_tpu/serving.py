@@ -452,6 +452,30 @@ class STEngine:
     def load_audio(self, path: str) -> np.ndarray:
         return read_audio(path, sample_rate=self.sample_rate)[0]
 
+    def warmup(self, dual: bool = False) -> int:
+        """Compile the full (bucket × pad-rung) program grid up front.
+
+        A fresh server otherwise pays each fused compile on the FIRST
+        request that hits a shape (tens of seconds per program on TPU),
+        stalling early traffic behind it; with a persistent compilation
+        cache (``utils/compile_cache.py``) this reloads executables
+        instead of compiling. ``dual=True`` additionally warms the
+        fused dual-prompt (ASR+ST) program per shape. Returns the
+        number of (bucket, rung) shapes exercised."""
+        rungs = (self.pad_batch_rows
+                 if isinstance(self.pad_batch_rows, tuple)
+                 else (self.pad_batch_rows or 1,))
+        n = 0
+        for sec in self.buckets:
+            wav = np.zeros((max(int(sec * self.sample_rate), 1),),
+                           np.float32)
+            for r in rungs:
+                self.translate([wav] * int(r))
+                if dual:
+                    self.transcribe_and_translate([wav] * int(r))
+                n += 1
+        return n
+
     def translate(self, wavs: Sequence[np.ndarray],
                   source_lang: Optional[str] = None,
                   target_lang: Optional[str] = None) -> List[str]:

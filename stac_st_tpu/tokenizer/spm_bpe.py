@@ -41,6 +41,22 @@ emitted piece ORDER and SCORES match:
 Overlapping occurrences ("aaa" contains "aa" twice) are counted per
 position and resolved left-to-right at merge time through position
 invalidation, again matching the C++ data structures.
+
+**Frequency accounting is exactly incremental** (a real-corpus
+performance requirement the selection semantics don't notice): where
+the C++ ``ComputeFreq`` rescans a symbol's position set on every
+selection-loop visit — pruning stale entries as it goes — this engine
+keeps every position set stale-free by construction, so ``freq`` is a
+plain counter. Equivalence argument: a merge of ``best`` at
+``(sid, l, r)`` invalidates exactly three entries — ``(sid, prev, l)``
+of the left-neighbour pair, ``(sid, l, r)`` of ``best`` itself, and
+``(sid, r, next)`` of the right-neighbour pair (array slots only ever
+grow into a merged symbol or become ``None``) — and all three are
+removed eagerly at apply time. Entries that are identity-mismatched at
+creation (a different split of an interned string, the C++
+``symbols_cache_`` quirk) can never become valid later, so they are
+never added. The selection comparator reads the same frequencies the
+C++ scan would compute, at O(1) per visit instead of O(positions).
 """
 
 from __future__ import annotations
@@ -114,31 +130,31 @@ class SpmBpeMergeEngine:
             sym = _Sym(merged, ls, rs)
             self.cache[merged] = sym
         # interned by string: a different split of the same string lands
-        # here too; its positions fail the validity check and get pruned
-        sym.positions.add((sid, left, right))
+        # here too. Identity-mismatched entries can never become valid
+        # (slots only grow or become None), so they are not recorded —
+        # the C++ equivalent records them and prunes them as stale.
+        if ls is sym.left and rs is sym.right:
+            sym.positions.add((sid, left, right))
+            sym.freq += self.sentences[sid][1]
         if not sym.emitted:
             self.active[sym] = None
 
-    def _compute_freq(self, sym: _Sym) -> None:
-        freq = 0
-        stale = []
-        for pos in sym.positions:
-            sid, left, right = pos
-            arr = self.sentences[sid][0]
-            if arr[left] is sym.left and arr[right] is sym.right:
-                freq += self.sentences[sid][1]
-            else:
-                stale.append(pos)
-        for pos in stale:
+    def _drop_pair(self, sid: int, left: int, right: int,
+                   ls: _Sym, rs: _Sym) -> None:
+        """Eagerly retire the entry a merge just invalidated (``ls``/``rs``
+        are the slot values BEFORE the merge overwrote them)."""
+        sym = self.cache.get(ls.chars + rs.chars)
+        if sym is None:
+            return
+        pos = (sid, left, right)
+        if pos in sym.positions:
             sym.positions.discard(pos)
-        sym.freq = freq
+            sym.freq -= self.sentences[sid][1]
 
     def _update_active(self) -> None:
         candidates = [
             s for s in self.cache.values() if s.is_bigram and not s.emitted
         ]
-        for s in candidates:
-            self._compute_freq(s)
         # keep top max(1000, 5%) by freq (C++ kMinActiveSymbolsSize /
         # kTopFrequentRatio); stable sort = insertion-order ties
         size = min(max(1000, int(len(candidates) * 0.05)), len(candidates))
@@ -183,7 +199,7 @@ class SpmBpeMergeEngine:
                 self._update_active()
             best: Optional[_Sym] = None
             for sym in self.active:
-                self._compute_freq(sym)
+                # freq is exact by construction (see module docstring)
                 if sym.freq <= 0 or sym.emitted:
                     continue
                 if self._better(sym, best):
@@ -193,19 +209,26 @@ class SpmBpeMergeEngine:
             out.append((best.chars, best.freq))
             best.emitted = True
             # replace occurrences left-to-right; overlaps invalidate via
-            # the None holes (the C++ loop's nullptr guard)
+            # the None holes (the C++ loop's nullptr guard). Iterate a
+            # sorted snapshot: eager retirement mutates the live set.
             for sid, left, right in sorted(best.positions):
                 arr = self.sentences[sid][0]
                 if arr[left] is not best.left or arr[right] is not best.right:
                     continue
-                arr[left] = best
-                arr[right] = None
                 prev = self._prev_index(sid, left)
                 nxt = self._next_index(sid, right)
+                # retire the two neighbour entries this merge kills
+                if prev >= 0:
+                    self._drop_pair(sid, prev, left, arr[prev], best.left)
+                if nxt >= 0:
+                    self._drop_pair(sid, right, nxt, best.right, arr[nxt])
+                arr[left] = best
+                arr[right] = None
                 if prev >= 0:
                     self._add_pair(sid, prev, left)
                 if nxt >= 0:
                     self._add_pair(sid, left, nxt)
             best.positions.clear()
+            best.freq = 0
             self.active.pop(best, None)
         return out

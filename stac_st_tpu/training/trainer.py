@@ -204,7 +204,9 @@ class STTrainer:
         from ..ops import pallas as _pallas
 
         if tak == "on" or (
-            tak == "auto" and jax.default_backend() not in ("cpu",)
+            # strictly 'tpu': the kernel's Mosaic/SMEM primitives do
+            # not lower on GPU, and CPU would need interpret mode
+            tak == "auto" and jax.default_backend() == "tpu"
         ):
             _pallas.enable_train()
             logger.info("flash-attention training kernel enabled "

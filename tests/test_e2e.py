@@ -535,3 +535,62 @@ class TestShardedLoader:
             loader.set_shard(2, 2, 4)
         with pytest.raises(ValueError):
             loader.set_shard(0, 3, 4)  # multiple not divisible
+
+    @staticmethod
+    def _perturbed_loaders(corpus, shard=None, num_workers=1, epoch=0):
+        from stac_st_tpu.data.sampler import DynamicBatchSampler
+        from stac_st_tpu.ops.speed_perturb import SpeedPerturb
+
+        perturb = SpeedPerturb(16000, speeds=[90, 100, 110])
+        perturb.seed(1234)
+        ds = SpeechDataset(
+            corpus["st"], tokenizer=corpus["sp"],
+            replacements={"data_root": corpus["root"]},
+            speed_perturb=perturb,
+        )
+        sampler = DynamicBatchSampler(
+            ds.durations(), max_batch_length=4.0, num_buckets=4,
+            shuffle=False, batch_ordering="ascending",
+        )
+        loader = BatchLoader(ds, sampler=sampler, num_workers=num_workers)
+        if shard is not None:
+            loader.set_shard(*shard)
+        loader.set_epoch(epoch)
+        return loader
+
+    def test_speed_perturb_keyed_draw_survives_sharding(self, corpus):
+        """The per-utterance speed draw is keyed by (epoch, row), not a
+        sequential stream, so skipping non-owned audio decodes (or
+        decoding under worker threads) cannot desync augmentation: the
+        owned blocks carry bit-identical perturbed audio and every host
+        computes the same padded width."""
+        full = list(self._perturbed_loaders(corpus))
+        full_workers = list(self._perturbed_loaders(corpus, num_workers=3))
+        mult = 2
+        shard0 = list(self._perturbed_loaders(corpus, shard=(0, 2, mult)))
+        shard1 = list(self._perturbed_loaders(corpus, shard=(1, 2, mult)))
+        assert len(full) == len(shard0) == len(shard1) > 0
+        for b, bw, s0, s1 in zip(full, full_workers, shard0, shard1):
+            # multi-worker decode == single-worker decode, bit-exact
+            np.testing.assert_array_equal(bw.sig.data, b.sig.data)
+            # identical padded width on every "host"
+            assert s0.sig.data.shape == s1.sig.data.shape == b.sig.data.shape
+            n = len(b.id)
+            padded = -(-n // mult) * mult
+            per = padded // 2
+            for pos in range(n):
+                owner = s0 if pos < per else s1
+                np.testing.assert_array_equal(
+                    owner.sig.data[pos], b.sig.data[pos])
+
+    def test_speed_perturb_redraws_per_epoch(self, corpus):
+        e0 = list(self._perturbed_loaders(corpus, epoch=0))
+        e0b = list(self._perturbed_loaders(corpus, epoch=0))
+        e1 = list(self._perturbed_loaders(corpus, epoch=1))
+        same = all(
+            a.sig.data.shape == b.sig.data.shape
+            and np.array_equal(a.sig.data, b.sig.data)
+            for a, b in zip(e0, e1))
+        assert not same  # epoch changes the draw...
+        for a, b in zip(e0, e0b):  # ...same epoch is reproducible
+            np.testing.assert_array_equal(a.sig.data, b.sig.data)

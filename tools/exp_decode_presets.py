@@ -18,10 +18,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# single source of truth for the reference scale grid
+from bench_train import PRESETS as _TRAIN_PRESETS  # noqa: E402
+
 PRESETS = {
-    "small": dict(d_model=256, nhead=4, enc=12, dec=6),
-    "medium": dict(d_model=512, nhead=8, enc=16, dec=6),
-    "large": dict(d_model=1024, nhead=16, enc=14, dec=6),
+    name: dict(d_model=p["d"], nhead=p["h"], enc=p["enc"], dec=p["dec"])
+    for name, p in _TRAIN_PRESETS.items()
 }
 
 

@@ -147,6 +147,16 @@ class TestPadBatchLadder:
         with pytest.raises(ValueError):
             _build_engine(parts, pad_batch_rows=(0, 8))
 
+    def test_warmup_covers_the_grid(self, parts, rng):
+        """warmup() exercises every (bucket x rung) shape once so a
+        server binds its ports with the whole grid compiled."""
+        engine = _build_engine(parts, pad_batch_rows=(2, 4))
+        n = engine.warmup()
+        assert n == len(engine.buckets) * 2
+        # a post-warmup request still round-trips
+        wav = rng.standard_normal(3000).astype(np.float32)
+        assert isinstance(engine.translate([wav])[0], str)
+
 
 class TestFromSavedExperiment:
     def test_reload_from_saved_config(self, tmp_path, rng):

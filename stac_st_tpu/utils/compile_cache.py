@@ -62,6 +62,16 @@ def enable_compile_cache(
         # cache even small executables (the decode-step programs are
         # compile-time-expensive but byte-small)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        # JAX initializes its cache singleton at most once per process;
+        # if anything compiled before this call (with another dir, or
+        # with caching off), the config update above would be silently
+        # ignored. Reset so the next compile re-initializes here.
+        try:
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:  # pragma: no cover - private API drift
+            pass
     except Exception as e:  # pragma: no cover - version-dependent
         logger.warning("persistent compilation cache unavailable: %s", e)
         return False

@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv-cache-dtype", choices=("int8",), default=None,
                    help="quantize the decode self-attention KV cache "
                         "(halves its per-step HBM reads; docs/PERF.md)")
+    p.add_argument("--weights-int8", action="store_true",
+                   help="weight-only int8 on the decode hot path "
+                        "(decoder + output-head kernels stream half the "
+                        "HBM bytes per decode step; biggest at small "
+                        "batches / large presets — docs/PERF.md)")
     p.add_argument("--max-wait-ms", type=float, default=20.0)
     p.add_argument("--request-timeout", type=float, default=300.0)
     p.add_argument("--compile-cache", default="auto",
@@ -130,6 +135,7 @@ def start_servers(args):
         pad_batch_rows=(_parse_pad_batch(args.pad_batch)
                         if args.pad_batch is not None else args.max_batch),
         kv_cache_dtype=args.kv_cache_dtype,
+        weights_int8=args.weights_int8,
     )
     if args.data_parallel not in (0, 1):
         import jax

@@ -27,6 +27,7 @@ from .transformer import (
     NormalizedEmbedding,
     TransformerDecoder,
     TransformerEncoder,
+    dq_dense_params,
 )
 
 __all__ = ["TransformerMultiTask", "LinearHead", "ModuleGroup",
@@ -324,6 +325,11 @@ class LinearHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        p = self.variables.get("params", {}).get("linear")
+        if p is not None and p["kernel"].dtype == jnp.int8:
+            # weight-only int8 head (utils/quantize.py): the (d, vocab)
+            # kernel is read EVERY decode step; dequant-on-read halves it
+            return dq_dense_params(p, x)
         return nn.Dense(
             self.n_neurons, use_bias=self.bias, kernel_init=_glorot,
             name="linear",

@@ -29,6 +29,7 @@ from flax import linen as nn
 
 
 __all__ = [
+    "dq_dense_params",
     "NormalizedEmbedding",
     "MultiHeadAttention",
     "FeedForward",
@@ -43,6 +44,44 @@ _glorot = nn.initializers.glorot_normal()
 
 def _dense(features: int, name: str | None = None) -> nn.Dense:
     return nn.Dense(features, kernel_init=_glorot, name=name)
+
+
+def dq_dense_params(p: Dict[str, Any], x):
+    """Apply a Dense's params to ``x``, honoring weight-only int8 kernels.
+
+    ``p`` is a Dense param dict: float ``kernel`` → plain matmul; int8
+    ``kernel`` (+ per-output-column fp32 ``kernel_scale``) → the
+    int8→bf16 convert fuses into the matmul's operand LOAD on TPU, so
+    the weight stream costs half the HBM bytes with no materialized
+    bf16 copy (measured 639 → 163 µs/step for a decoder-sized weight
+    stream at 10 query rows — tools/exp_weight_int8.py). The scale
+    rides the f32 accumulator after the matmul.
+    """
+    k = p["kernel"]
+    if k.dtype == jnp.int8:
+        y = jnp.matmul(
+            x, k.astype(x.dtype), preferred_element_type=jnp.float32
+        ) * p["kernel_scale"]
+    else:
+        y = jnp.matmul(x, k.astype(x.dtype)).astype(jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _apply_dense(dense: "nn.Dense", x):
+    """Call ``dense`` normally for float kernels; dequant-on-read for
+    weight-only int8 kernels (decode hot path — see dq_dense_params).
+
+    The float path delegates to the module so training/init numerics
+    are byte-identical to plain ``dense(x)``; the int8 branch only ever
+    triggers on params rewritten by utils/quantize.py (serving).
+    """
+    p = dense.variables.get("params") if dense.scope is not None else None
+    k = None if p is None else p.get("kernel")
+    if k is None or k.dtype != jnp.int8:
+        return dense(x)
+    return dq_dense_params(p, x)
 
 
 class NormalizedEmbedding(nn.Module):
@@ -154,7 +193,8 @@ class MultiHeadAttention(nn.Module):
 
     def _q_heads(self, query):
         B = query.shape[0]
-        q = self.q_proj(query).reshape(B, 1, self.nhead, self.head_dim)
+        q = _apply_dense(self.q_proj, query).reshape(
+            B, 1, self.nhead, self.head_dim)
         return jnp.swapaxes(q, 1, 2)  # (B, H, 1, Dh)
 
     def project_kv_decode(self, key_value):
@@ -180,7 +220,7 @@ class MultiHeadAttention(nn.Module):
         ).astype(q.dtype)  # (B, H, 1, Dh)
         B = out.shape[0]
         out = jnp.swapaxes(out, 1, 2).reshape(B, 1, self.d_model)
-        return self.out_proj(out)
+        return _apply_dense(self.out_proj, out)
 
     def step(self, query, cache: Dict[str, Any], bias=None,
              fused_update: bool = False):
@@ -237,7 +277,8 @@ class MultiHeadAttention(nn.Module):
             attn = decode_self_attention(
                 q_rows, kT, v, idx, interpret=pallas_mod.interpret_mode()
             )  # (B, H, Dh)
-            out = self.out_proj(attn.reshape(B, 1, self.d_model))
+            out = _apply_dense(
+                self.out_proj, attn.reshape(B, 1, self.d_model))
             return out, {"k": kT, "v": v, "index": idx + 1}
 
         pos_bias = jnp.where(
@@ -305,26 +346,39 @@ class MultiHeadAttention(nn.Module):
             w_eff, v.astype(q.dtype), preferred_element_type=jnp.float32
         ).astype(q.dtype)  # (B, H, 1, Dh)
         B = out.shape[0]
-        out = self.out_proj(jnp.swapaxes(out, 1, 2).reshape(
-            B, 1, self.d_model))
+        out = _apply_dense(
+            self.out_proj,
+            jnp.swapaxes(out, 1, 2).reshape(B, 1, self.d_model))
         return out, {"k": kT, "v": v, "k_scale": k_sc, "v_scale": v_sc,
                      "index": idx + 1}
 
     def _fused_qkv(self, query):
-        """One (d, 3d) matmul for the decode step (docs/PERF.md)."""
+        """One (d, 3d) matmul for the decode step (docs/PERF.md).
+
+        Weight-only int8 kernels (utils/quantize.py) stream half the
+        HBM bytes: the int8 concat feeds the matmul via a fused
+        dequant-on-read, and the per-output-column scales ride the f32
+        accumulator (tools/exp_weight_int8.py).
+        """
         B = query.shape[0]
         H, Dh = self.nhead, self.head_dim
-        w = jnp.concatenate([
-            self.q_proj.variables["params"]["kernel"],
-            self.k_proj.variables["params"]["kernel"],
-            self.v_proj.variables["params"]["kernel"],
-        ], axis=1)
-        b = jnp.concatenate([
-            self.q_proj.variables["params"]["bias"],
-            self.k_proj.variables["params"]["bias"],
-            self.v_proj.variables["params"]["bias"],
-        ])
-        qkv = jnp.matmul(query, w) + b.astype(query.dtype)
+        pq = self.q_proj.variables["params"]
+        pk = self.k_proj.variables["params"]
+        pv = self.v_proj.variables["params"]
+        w = jnp.concatenate(
+            [pq["kernel"], pk["kernel"], pv["kernel"]], axis=1)
+        b = jnp.concatenate([pq["bias"], pk["bias"], pv["bias"]])
+        if w.dtype == jnp.int8:
+            s = jnp.concatenate([
+                pq["kernel_scale"], pk["kernel_scale"], pv["kernel_scale"]
+            ])
+            qkv = jnp.matmul(
+                query, w.astype(query.dtype),
+                preferred_element_type=jnp.float32,
+            ) * s
+            qkv = (qkv + b.astype(jnp.float32)).astype(query.dtype)
+        else:
+            qkv = jnp.matmul(query, w) + b.astype(query.dtype)
         q_r, k_r, v_r = jnp.split(qkv, 3, axis=-1)
         return (q_r.reshape(B, H, Dh), k_r.reshape(B, H, Dh),
                 v_r.reshape(B, H, Dh))
@@ -360,7 +414,7 @@ class MultiHeadAttention(nn.Module):
             q_rows, k, v, anc, idx, beam,
             interpret=pallas_mod.interpret_mode(),
         )
-        out = self.out_proj(attn.reshape(B, 1, self.d_model))
+        out = _apply_dense(self.out_proj, attn.reshape(B, 1, self.d_model))
         return out, {"k": k, "v": v, "index": idx + 1}
 
     def _step_cross_int8(self, q, kT, v, bias, beam, scales):
@@ -386,7 +440,7 @@ class MultiHeadAttention(nn.Module):
             w_eff, v.astype(qg.dtype), preferred_element_type=jnp.float32
         ).astype(qg.dtype)  # (B, H, beam, Dh)
         out = jnp.swapaxes(out, 1, 2).reshape(BB, 1, self.d_model)
-        return self.out_proj(out)
+        return _apply_dense(self.out_proj, out)
 
     def step_cross(self, query, kT, v, bias=None, beam: int = 1,
                    cross_scales=None):
@@ -417,7 +471,8 @@ class MultiHeadAttention(nn.Module):
                 q_rows, kT, v, bias2d, beam,
                 interpret=pallas_mod.interpret_mode(),
             )
-            return self.out_proj(attn.reshape(BBp, 1, self.d_model))
+            return _apply_dense(
+                self.out_proj, attn.reshape(BBp, 1, self.d_model))
 
         if beam == 1:
             return self._decode_attend(q, kT, v, bias)
@@ -437,7 +492,7 @@ class MultiHeadAttention(nn.Module):
             weights, v, preferred_element_type=jnp.float32
         ).astype(q.dtype)  # (B, H, beam, Dh)
         out = jnp.swapaxes(out, 1, 2).reshape(BB, 1, self.d_model)
-        return self.out_proj(out)
+        return _apply_dense(self.out_proj, out)
 
 
 class FeedForward(nn.Module):
@@ -452,6 +507,20 @@ class FeedForward(nn.Module):
         h = self.activation(h)
         h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
         return _dense(self.d_model, name="fc2")(h)
+
+    def step(self, x):
+        """Decode-path FFN honoring weight-only int8 kernels.
+
+        fc1/fc2 are the two largest weight streams of a decode step
+        (8·d² of the 16·d² per-layer bytes); with int8 kernels both
+        matmuls dequantize on read (see dq_dense_params). Float kernels
+        take the exact ``__call__`` path.
+        """
+        p = self.variables.get("params", {})
+        if "fc1" not in p or p["fc1"]["kernel"].dtype != jnp.int8:
+            return self(x, deterministic=True)
+        h = self.activation(dq_dense_params(p["fc1"], x))
+        return dq_dense_params(p["fc2"], h)
 
 
 class EncoderLayer(nn.Module):
@@ -622,7 +691,7 @@ class DecoderLayer(nn.Module):
                 cross_bias, beam, cross_scales,
             )
             x = x + h
-            x = x + self.ffn(self.norm3(x), deterministic=True)
+            x = x + self.ffn.step(self.norm3(x))
         else:
             x = self.norm1(x + h)
             h = self.cross_attn.step_cross(
@@ -630,7 +699,7 @@ class DecoderLayer(nn.Module):
                 cross_scales,
             )
             x = self.norm2(x + h)
-            x = self.norm3(x + self.ffn(x, deterministic=True))
+            x = self.norm3(x + self.ffn.step(x))
         return x, {**cache, "self": self_cache}
 
 

@@ -69,6 +69,7 @@ class STEngine:
         xt_id: int = 8,
         mesh=None,
         kv_cache_dtype: Optional[str] = None,
+        weights_int8: bool = False,
     ):
         """mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis —
         fleet serving: parameters/CMVN are replicated across the mesh and
@@ -131,6 +132,19 @@ class STEngine:
                 k: (cast(v) if k != "normalize" else v)
                 for k, v in params.items()
             }
+        if weights_int8:
+            # weight-only int8 on the decode hot path: decoder + seq_lin
+            # kernels stream half the HBM bytes per decode step (4× at
+            # single-stream row counts — docs/PERF.md round 3,
+            # tools/exp_weight_int8.py). Opt-in: quantization noise can
+            # reorder near-tied beams. Scales stay fp32 (created after
+            # the bf16 cast above, so the cast never touches them).
+            from .utils.quantize import quantize_decode_weights
+
+            t_q, s_q = quantize_decode_weights(
+                params["Transformer"], params["seq_lin"])
+            params = {**params, "Transformer": t_q, "seq_lin": s_q}
+        self.weights_int8 = bool(weights_int8)
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec

@@ -8,6 +8,8 @@ methodology (B16 × 10 s, beam 10, int8 KV cache, scanned device
 throughput — docs/PERF.md round 3).
 
 Usage: python -u tools/exp_decode_presets.py [small medium large]
+Env:   STAC_WINT8=1        weight-only int8 decode (utils/quantize.py)
+       STAC_DECODE_BATCH=N batch rows (default 16; 1 = single stream)
 """
 
 import os
@@ -41,6 +43,7 @@ def run_preset(name: str, cfg: dict) -> float:
     from stac_st_tpu.ops.cmvn import cmvn_apply, cmvn_init
 
     BATCH, SECONDS, SR, BEAM, VOCAB = 16, 10.0, 16000, 10, 5000
+    BATCH = int(os.environ.get("STAC_DECODE_BATCH", BATCH))
     d = cfg["d_model"]
 
     cnn = ConvolutionFrontEnd(out_channels=(256, 256))
@@ -76,6 +79,13 @@ def run_preset(name: str, cfg: dict) -> float:
     tr_params, seq_params, cnn_params = (
         to_bf16(tr_params), to_bf16(seq_params), to_bf16(cnn_params))
 
+    wint8 = os.environ.get("STAC_WINT8") == "1"
+    if wint8:
+        from stac_st_tpu.utils.quantize import quantize_decode_weights
+
+        tr_params, seq_params = quantize_decode_weights(
+            tr_params, seq_params)
+
     searcher = MultiTaskBeamSearch(
         [transformer, seq_lin, None],
         bos_index=1, eos_index=2, blank_index=0,
@@ -109,7 +119,9 @@ def run_preset(name: str, cfg: dict) -> float:
     np.asarray(scanned(cnn_params, tr_params, cmvn, wavs))
     dt = time.perf_counter() - t0
     rtfx = BATCH * SECONDS * n_iters / dt
-    print(f"{name} (d{d}/{cfg['nhead']}h/{cfg['enc']}+{cfg['dec']}L): "
+    tag = " wint8" if wint8 else ""
+    print(f"{name} (d{d}/{cfg['nhead']}h/{cfg['enc']}+{cfg['dec']}L) "
+          f"B{BATCH}{tag}: "
           f"{dt*1e3/n_iters:.1f} ms/iter  full-budget RTFx {rtfx:.1f}",
           flush=True)
     return rtfx

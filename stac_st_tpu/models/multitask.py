@@ -290,6 +290,42 @@ class TransformerMultiTask(nn.Module):
             )
         return out
 
+    @staticmethod
+    def set_cache_index(cache, index):
+        """Rewind (or set) the decode cache's write index.
+
+        Speculative decoding appends a whole verification window
+        provisionally and then keeps only the accepted prefix: the
+        rewind is just the index — rows past it are masked by the causal
+        bias and are overwritten by the next window before they can
+        become visible (windows always restart at the rewound index).
+        """
+        layers = [
+            {**layer, "self": {**layer["self"], "index": index}}
+            for layer in cache["layers"]
+        ]
+        return {**cache, "layers": layers}
+
+    def decode_window(self, tokens, position, cache):
+        """Windowed decode (speculative verification).
+
+        tokens: (B, w) int32 inputs for positions position..position+w-1
+        (``position`` must equal the cache write index); returns
+        ((B, w, d) hidden states, cache with the index advanced by w).
+        Equivalent to w sequential ``decode_step`` calls; the caller
+        rewinds the index to the accepted length via
+        ``set_cache_index``.
+        """
+        B, w = tokens.shape
+        emb = self.tgt_embed(tokens)  # (B, w, d)
+        pos = jnp.reshape(jnp.asarray(position), ())
+        pe = jax.lax.dynamic_slice_in_dim(self.pe, pos, w, axis=0)  # (w, d)
+        emb = emb + pe[None, :, :].astype(emb.dtype)
+        out, new_layers = self.decoder.step_window(
+            emb, cache["layers"], cache["enc_bias"]
+        )
+        return out, {**cache, "layers": new_layers}
+
     def decode_step(self, tokens, positions, cache):
         """One decode step.
 

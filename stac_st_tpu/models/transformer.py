@@ -352,6 +352,91 @@ class MultiHeadAttention(nn.Module):
         return out, {"k": kT, "v": v, "k_scale": k_sc, "v_scale": v_sc,
                      "index": idx + 1}
 
+    def step_window(self, query, cache: Dict[str, Any], bias=None):
+        """Windowed decode step: query (B, w, d) at positions idx..idx+w-1.
+
+        The verification path for speculative decoding: w provisional
+        K/V rows are appended at the cache write index in one
+        dynamic_update_slice, and the window attends causally — key j is
+        visible to window row r iff j <= idx + r — over the cached
+        prefix plus the window itself. Equivalent to w sequential
+        ``step`` calls but with one attention matmul of query length w
+        (the MXU sees a (w, S) logits tile instead of w (1, S) rows).
+        Supports both float and int8 cache layouts. Returns
+        ((B, w, d), cache') with the write index advanced by w; the
+        caller rewinds the index to the accepted length afterwards
+        (stale rows past the index are masked by the causal bias and
+        are overwritten before they ever become visible, because the
+        next window always starts at the rewound index).
+        """
+        B, w, _ = query.shape
+        H, Dh = self.nhead, self.head_dim
+        q_r, k_r, v_r = self._fused_qkv(query.reshape(B * w, -1))
+        q = jnp.swapaxes(q_r.reshape(B, w, H, Dh), 1, 2)       # (B,H,w,Dh)
+        k_new = jnp.swapaxes(k_r.reshape(B, w, H, Dh), 1, 2)   # (B,H,w,Dh)
+        v_new = jnp.swapaxes(v_r.reshape(B, w, H, Dh), 1, 2)   # (B,H,w,Dh)
+        idx = cache["index"]
+        S = cache["k"].shape[-1]
+        # causal visibility inside the window
+        pos_bias = jnp.where(
+            jnp.arange(S)[None, None, None, :]
+            > idx + jnp.arange(w)[None, None, :, None],
+            -1e9, 0.0,
+        )
+        if bias is not None:
+            pos_bias = pos_bias + bias
+        scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+        if cache["k"].dtype == jnp.int8:
+            def quant(x, axis):  # per-(B, H, position) scale over Dh
+                s = jnp.maximum(
+                    jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis,
+                            keepdims=True), 1e-6,
+                ) / 127.0
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                              -127, 127).astype(jnp.int8)
+                return xq, s
+
+            k_q, s_k = quant(jnp.swapaxes(k_new, 2, 3), 2)  # (B,H,Dh,w)
+            v_q, s_v = quant(v_new, 3)                      # (B,H,w,Dh)
+            kT = jax.lax.dynamic_update_slice(
+                cache["k"], k_q, (0, 0, 0, idx))
+            v = jax.lax.dynamic_update_slice(
+                cache["v"], v_q, (0, 0, idx, 0))
+            k_sc = jax.lax.dynamic_update_slice(
+                cache["k_scale"], s_k, (0, 0, 0, idx))
+            v_sc = jax.lax.dynamic_update_slice(
+                cache["v_scale"], jnp.swapaxes(s_v, 2, 3), (0, 0, 0, idx))
+            logits = jnp.matmul(
+                q, kT.astype(q.dtype), preferred_element_type=jnp.float32
+            ) * (k_sc * scale) + pos_bias  # (B, H, w, S)
+            weights = jax.nn.softmax(logits, axis=-1)
+            w_eff = (weights * v_sc).astype(q.dtype)
+            out = jnp.matmul(
+                w_eff, v.astype(q.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(q.dtype)  # (B, H, w, Dh)
+            new_cache = {"k": kT, "v": v, "k_scale": k_sc, "v_scale": v_sc,
+                         "index": idx + w}
+        else:
+            kT = jax.lax.dynamic_update_slice(
+                cache["k"],
+                jnp.swapaxes(k_new, 2, 3).astype(cache["k"].dtype),
+                (0, 0, 0, idx),
+            )
+            v = jax.lax.dynamic_update_slice(
+                cache["v"], v_new.astype(cache["v"].dtype), (0, 0, idx, 0)
+            )
+            logits = jnp.matmul(
+                q, kT, preferred_element_type=jnp.float32
+            ) * scale + pos_bias
+            weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+            out = jnp.matmul(
+                weights, v, preferred_element_type=jnp.float32
+            ).astype(q.dtype)  # (B, H, w, Dh)
+            new_cache = {"k": kT, "v": v, "index": idx + w}
+        out = jnp.swapaxes(out, 1, 2).reshape(B, w, self.d_model)
+        return _apply_dense(self.out_proj, out), new_cache
+
     def _fused_qkv(self, query):
         """One (d, 3d) matmul for the decode step (docs/PERF.md).
 
@@ -702,6 +787,41 @@ class DecoderLayer(nn.Module):
             x = self.norm3(x + self.ffn.step(x))
         return x, {**cache, "self": self_cache}
 
+    def step_window(self, x, cache, cross_bias=None):
+        """Windowed decode step (speculative verification): x (B, w, d).
+
+        Same residual structure as ``step``; self-attention through
+        ``MultiHeadAttention.step_window`` (one causal (w, S) tile),
+        cross-attention through ``step_cross`` with the window riding as
+        the query length (beam=w) so the per-utterance encoder K/V is
+        read once for the whole window.
+        """
+        B, w, d = x.shape
+        h = self.norm1(x) if self.normalize_before else x
+        h, self_cache = self.self_attn.step_window(h, cache["self"])
+        cross_scales = None
+        if "cross_k_scale" in cache:  # int8 cross cache
+            cross_scales = (cache["cross_k_scale"], cache["cross_v_scale"])
+        if self.normalize_before:
+            x = x + h
+            q = self.norm2(x).reshape(B * w, 1, d)
+            h = self.cross_attn.step_cross(
+                q, cache["cross_k"], cache["cross_v"], cross_bias, w,
+                cross_scales,
+            ).reshape(B, w, d)
+            x = x + h
+            x = x + self.ffn.step(self.norm3(x))
+        else:
+            x = self.norm1(x + h)
+            q = x.reshape(B * w, 1, d)
+            h = self.cross_attn.step_cross(
+                q, cache["cross_k"], cache["cross_v"], cross_bias, w,
+                cross_scales,
+            ).reshape(B, w, d)
+            x = self.norm2(x + h)
+            x = self.norm3(x + self.ffn.step(x))
+        return x, {**cache, "self": self_cache}
+
 
 class TransformerEncoder(nn.Module):
     num_layers: int
@@ -774,5 +894,12 @@ class TransformerDecoder(nn.Module):
         new_caches = []
         for layer, cache in zip(self.layers, caches):
             x, cache = layer.step(x, cache, cross_bias, beam, anc)
+            new_caches.append(cache)
+        return self.final_norm(x), new_caches
+
+    def step_window(self, x, caches, cross_bias=None):
+        new_caches = []
+        for layer, cache in zip(self.layers, caches):
+            x, cache = layer.step_window(x, cache, cross_bias)
             new_caches.append(cache)
         return self.final_norm(x), new_caches

@@ -41,7 +41,7 @@ from .utils.rttm import extract_turn_events
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["STEngine"]
+__all__ = ["STEngine", "SpeculativeSTEngine"]
 
 _BUCKET_SECONDS = (2.0, 4.0, 8.0, 16.0, 32.0)
 
@@ -696,3 +696,138 @@ class STEngine:
             "translation": clean(st),
             "rttm": rttm,
         }
+
+
+class SpeculativeSTEngine:
+    """Single-stream speculative serving: draft proposes, target verifies.
+
+    Wraps two ``STEngine``s sharing a tokenizer: the DRAFT (a small,
+    cheap model — e.g. the reference 'small' preset, or a distilled
+    student) proposes ``k`` tokens per round and the TARGET verifies the
+    whole window in ONE KV-cached windowed decode step. Output is
+    exactly the target model's greedy decode (beam 1), independent of
+    draft quality (``decoding/speculative.py``); the draft only changes
+    the number of target dispatches.
+
+    When to use: LARGE targets at LOW concurrency — the decode step's
+    per-token cost there is dominated by re-reading the decoder weights
+    from HBM every step (201 MB/step bf16 on the large preset), and the
+    windowed verify reads them once per k tokens. Composes with
+    ``weights_int8=True`` and ``kv_cache_dtype='int8'`` on either
+    engine. At high concurrency the step is row-bound and speculation
+    stops paying — keep the plain batched beam engine there. Greedy vs
+    the engine's beam-10 default is a quality trade the caller opts
+    into (the reference protocol's test config is beam 10,
+    ``transformer_multitask.yaml:228-251``).
+
+    The reference has no serving/speculative story; this is a
+    beyond-reference serving mode.
+    """
+
+    def __init__(self, target: STEngine, draft: STEngine, k: int = 6):
+        from .decoding.speculative import (
+            bind_spec_model,
+            speculative_greedy_search,
+        )
+
+        if target.sample_rate != draft.sample_rate:
+            raise ValueError("target/draft sample rates differ")
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        self.target, self.draft, self.k = target, draft, int(k)
+        self.last_stats: List[Dict] = []
+
+        t_def, t_seq_def = target._transformer, target.searcher.seq_lin_def
+        d_def, d_seq_def = draft._transformer, draft.searcher.seq_lin_def
+        t_kv = target.searcher.kv_cache_dtype
+        d_kv = draft.searcher.kv_cache_dtype
+        t_encode, d_encode = target._encode, draft._encode
+        cap = target.searcher.max_decode_tokens
+        eos = target.searcher.config.eos_index
+        mask_pad = target.searcher.mask_encoder_padding
+        k_steps = self.k
+
+        @jax.jit
+        def _program(tp, tcm, dp, dcm, wavs, lens, prompt):
+            # bind INSIDE the jit so the weights are traced arguments,
+            # not constants baked into the HLO (a large preset would
+            # otherwise serialize its whole param tree into the program)
+            t_bound = bind_spec_model(
+                t_def, t_seq_def, tp["Transformer"], tp["seq_lin"], t_kv)
+            d_bound = bind_spec_model(
+                d_def, d_seq_def, dp["Transformer"], dp["seq_lin"], d_kv)
+            enc_t = t_encode(tp, tcm, wavs, lens)
+            enc_d = d_encode(dp, dcm, wavs, lens)
+            S = enc_t.shape[1]
+            max_steps = S if cap is None else min(S, cap)
+            bias_t = bias_d = None
+            if mask_pad:
+                from .ops import masks as M
+
+                pad_t = M.src_key_padding_mask_encode(lens, S)
+                bias_t = M.additive_bias(pad_t[:, None, None, :])
+                pad_d = M.src_key_padding_mask_encode(
+                    lens, enc_d.shape[1])
+                bias_d = M.additive_bias(pad_d[:, None, None, :])
+            return speculative_greedy_search(
+                t_bound, d_bound, enc_t, enc_d, prompt, max_steps,
+                k_steps, eos_index=eos, enc_bias_target=bias_t,
+                enc_bias_draft=bias_d,
+            )
+
+        self._program = _program
+
+    def _decode_one(self, wav: np.ndarray, src_lang: str,
+                    tgt_lang: str) -> str:
+        sp = self.target.tokenizer
+        src_id = sp.encode_as_ids(f"[{src_lang}]")[-1]
+        tgt_id = sp.encode_as_ids(f"[{tgt_lang}]")[-1]
+        prompt = jnp.asarray(
+            [self.target.searcher.bos_token, src_id, tgt_id], jnp.int32
+        )
+        wav = np.asarray(wav)
+        if wav.dtype == np.int16:
+            wav = wav.astype(np.float32) / 32768.0
+        width = self.target._bucket_width(len(wav))
+        batch = np.zeros((1, width), np.float32)
+        batch[0, : len(wav)] = wav
+        lens = np.asarray([len(wav) / width], np.float32)
+        res = self._program(
+            self.target.params, self.target.cmvn,
+            self.draft.params, self.draft.cmvn,
+            jnp.asarray(batch), jnp.asarray(lens), prompt,
+        )
+        n = int(res.length)
+        steps = int(res.target_steps)
+        self.last_stats.append({
+            "tokens": n,
+            "target_steps": steps,
+            "tokens_per_target_step": n / max(steps, 1),
+            "drafted": int(res.drafted),
+        })
+        return sp.decode_ids([int(t) for t in np.asarray(res.tokens[:n])])
+
+    # --------------------------------------------------------------- API
+    def transcribe(self, wavs: Sequence[np.ndarray],
+                   source_lang: Optional[str] = None) -> List[str]:
+        lang = source_lang or self.target.source_lang
+        self.last_stats = []
+        return [self._decode_one(w, lang, lang) for w in wavs]
+
+    def translate(self, wavs: Sequence[np.ndarray],
+                  source_lang: Optional[str] = None,
+                  target_lang: Optional[str] = None) -> List[str]:
+        src = source_lang or self.target.source_lang
+        tgt = target_lang or self.target.target_lang
+        self.last_stats = []
+        return [self._decode_one(w, src, tgt) for w in wavs]
+
+    def warmup(self) -> int:
+        """Compile the per-bucket speculative program grid up front."""
+        n = 0
+        for sec in self.target.buckets:
+            wav = np.zeros(
+                (max(int(sec * self.target.sample_rate), 1),), np.float32)
+            self.translate([wav])
+            n += 1
+        return n

@@ -18,7 +18,11 @@ Env knobs: STAC_SERVE_CLIENTS (default 16), STAC_SERVE_SECONDS (default
 45 s of load), STAC_SERVE_NOTRAIN=1 (skip the training phase),
 STAC_SERVE_MAXBATCH (default 16), STAC_SERVE_TRANSPORT=http|grpc (same
 engine and front end behind either ingress, so the pair of runs
-isolates transport overhead).
+isolates transport overhead), STAC_SERVE_FRONT=batch|continuous (the
+coalescing beam-10 front end vs the greedy continuous-batching slot
+loop; STAC_SERVE_SLOTS / STAC_SERVE_CHUNK size the latter),
+STAC_SERVE_COMPILE_CACHE=<dir> (persistent XLA compile cache so
+repeated runs skip the remote compiles).
 """
 
 import base64
@@ -56,6 +60,12 @@ def _build_trained_engine():
     import jax
     import jax.numpy as jnp
     import optax
+
+    cache_dir = os.environ.get("STAC_SERVE_COMPILE_CACHE")
+    if cache_dir:
+        from stac_st_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache(cache_dir)
 
     from stac_st_tpu.models import (
         ConvolutionFrontEnd,
@@ -182,25 +192,42 @@ def main():
         })
 
     # direct engine RTFx (fused encode+search, no HTTP): the serving
-    # engine identity without transport overhead
-    direct_wavs = [wav_bank[i % len(wav_bank)] for i in range(16)]
-    warm = engine.translate(direct_wavs)  # warmup/compile (top rung)
-    # with a pad ladder every rung is its own compiled shape: warm each
-    # BEFORE the load window so no request pays a compile
-    for rung in getattr(engine, "_pad_rungs", [])[:-1]:
-        engine.translate(direct_wavs[:rung])
-        print(f"# warmed pad rung {rung}", flush=True)
-    hyp_lens = [len(t.split()) for t in warm]
-    print(f"# mean hyp len: {sum(hyp_lens) / len(hyp_lens):.1f}",
-          flush=True)
-    t0 = time.time()
-    for _ in range(3):
-        engine.translate(direct_wavs)
-    direct_rtfx = 16 * 10.0 * 3 / (time.time() - t0)
-    print(f"# direct engine RTFx (fused, B16x10s): {direct_rtfx:.1f}",
-          flush=True)
+    # engine identity without transport overhead. STAC_SERVE_NODIRECT=1
+    # skips it (saves the beam-path compiles when load-testing the
+    # continuous front end, which never runs those programs).
+    direct_rtfx = None
+    if os.environ.get("STAC_SERVE_NODIRECT") != "1":
+        direct_wavs = [wav_bank[i % len(wav_bank)] for i in range(16)]
+        warm = engine.translate(direct_wavs)  # warmup/compile (top rung)
+        # with a pad ladder every rung is its own compiled shape: warm
+        # each BEFORE the load window so no request pays a compile
+        for rung in getattr(engine, "_pad_rungs", [])[:-1]:
+            engine.translate(direct_wavs[:rung])
+            print(f"# warmed pad rung {rung}", flush=True)
+        hyp_lens = [len(t.split()) for t in warm]
+        print(f"# mean hyp len: {sum(hyp_lens) / len(hyp_lens):.1f}",
+              flush=True)
+        t0 = time.time()
+        for _ in range(3):
+            engine.translate(direct_wavs)
+        direct_rtfx = 16 * 10.0 * 3 / (time.time() - t0)
+        print(f"# direct engine RTFx (fused, B16x10s): {direct_rtfx:.1f}",
+              flush=True)
 
-    front = StreamingFrontEnd(engine, max_batch=max_batch, max_wait_ms=20)
+    front_kind = os.environ.get("STAC_SERVE_FRONT", "batch").lower()
+    if front_kind == "continuous":
+        from stac_st_tpu.serving_continuous import ContinuousBatchingEngine
+
+        front = ContinuousBatchingEngine(
+            engine,
+            slots=int(os.environ.get("STAC_SERVE_SLOTS", "16")),
+            chunk=int(os.environ.get("STAC_SERVE_CHUNK", "16")),
+        )
+        front.warmup()
+        print("# continuous front end warmed", flush=True)
+    else:
+        front = StreamingFrontEnd(engine, max_batch=max_batch,
+                                  max_wait_ms=20)
     if transport == "grpc":
         from stac_st_tpu.serving_grpc import STGrpcClient, STGrpcServer
 
@@ -228,7 +255,8 @@ def main():
             assert conn.getresponse().read()
             conn.close()
     print("# warmup done", flush=True)
-    hist0 = front.batch_histogram()
+    hist0 = (front.batch_histogram()
+             if hasattr(front, "batch_histogram") else {})
 
     stop = threading.Event()
     lock = threading.Lock()
@@ -298,16 +326,20 @@ def main():
         t.join(timeout=600)
     elapsed = time.perf_counter() - t_start
 
-    hist1 = front.batch_histogram()
+    hist1 = (front.batch_histogram()
+             if hasattr(front, "batch_histogram") else {})
     hist = {k: hist1.get(k, 0) - hist0.get(k, 0)
             for k in sorted(set(hist0) | set(hist1))}
     hist = {k: v for k, v in hist.items() if v > 0}
+    utilization = (round(front.utilization(), 3)
+                   if hasattr(front, "utilization") else None)
     server.close()
     front.close()
 
     lat = np.asarray(sorted(latencies))
     out = {
-        "metric": f"served_rtfx_{transport}",
+        "metric": f"served_rtfx_{transport}"
+        + ("_continuous" if front_kind == "continuous" else ""),
         "value": round(done_audio[0] / elapsed, 2),
         "unit": "x_realtime_per_chip_served",
         "clients": n_clients,
@@ -321,8 +353,11 @@ def main():
         if len(lat) else None,
         "batch_histogram": {str(k): v for k, v in hist.items()},
         "load_seconds": round(elapsed, 1),
-        "engine_rtfx_direct": round(direct_rtfx, 2),
+        "engine_rtfx_direct": (round(direct_rtfx, 2)
+                               if direct_rtfx is not None else None),
     }
+    if utilization is not None:
+        out["slot_utilization"] = utilization
     print(json.dumps(out))
 
 

@@ -168,6 +168,24 @@ def main():
         print(f"   [{seg['start']:5.2f}-{seg['end']:5.2f}s] "
               f"asr={seg['transcription']!r}")
     print(f"   merged translation: {result['translation']!r}")
+
+    print("== 8. continuous batching: in-flight request swapping")
+    # a persistent greedy slot loop — requests admitted into freed slots
+    # mid-decode, no head-of-line blocking (vLLM-style, TPU-native:
+    # static shapes, per-row KV indices)
+    from stac_st_tpu.serving_continuous import ContinuousBatchingEngine
+
+    cont = ContinuousBatchingEngine(engine, slots=2, chunk=4)
+    try:
+        futs = [cont.submit(dataset[i % 2]["sig"],
+                            task=("translate" if i % 2 == 0
+                                  else "transcribe"))
+                for i in range(4)]
+        for i, f in enumerate(futs):
+            print(f"   slot-loop result {i}: {f.result(timeout=600)!r}")
+        print(f"   slot utilization: {cont.utilization():.2f}")
+    finally:
+        cont.close()
     print("quickstart complete.")
 
 

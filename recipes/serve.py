@@ -75,6 +75,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "(decoder + output-head kernels stream half the "
                         "HBM bytes per decode step; biggest at small "
                         "batches / large presets — docs/PERF.md)")
+    p.add_argument("--continuous", action="store_true",
+                   help="serve through the continuous (in-flight) batching "
+                        "engine: a persistent greedy decode loop over "
+                        "--slots slots with per-chunk slot refill (no "
+                        "head-of-line blocking; beam-1 greedy instead of "
+                        "beam search — translate/transcribe routes only)")
+    p.add_argument("--slots", type=int, default=8,
+                   help="continuous mode: decode-loop width (rows per "
+                        "step)")
+    p.add_argument("--chunk", type=int, default=16,
+                   help="continuous mode: decode steps per device dispatch")
     p.add_argument("--max-wait-ms", type=float, default=20.0)
     p.add_argument("--request-timeout", type=float, default=300.0)
     p.add_argument("--compile-cache", default="auto",
@@ -137,6 +148,11 @@ def start_servers(args):
         kv_cache_dtype=args.kv_cache_dtype,
         weights_int8=args.weights_int8,
     )
+    if getattr(args, "continuous", False) and args.data_parallel not in (0, 1):
+        raise SystemExit(
+            "--continuous and --data-parallel are mutually exclusive: the "
+            "continuous slot loop is a single-device program (run one "
+            "process per chip and load-balance in front instead)")
     if args.data_parallel not in (0, 1):
         import jax
         import numpy as np
@@ -166,22 +182,39 @@ def start_servers(args):
         args.experiment_dir, tokenizer_file=args.tokenizer, **kw
     )
 
-    if not getattr(args, "no_warmup", False):
-        # compile (or cache-load) every (bucket x rung) program BEFORE
-        # binding ports: otherwise the first request on each shape pays
-        # the full fused compile and early traffic stalls behind it
-        import time as _time
+    if getattr(args, "continuous", False):
+        # continuous (in-flight) batching: one persistent greedy decode
+        # loop; requests swap into freed slots between device dispatches
+        from stac_st_tpu.serving_continuous import ContinuousBatchingEngine
 
-        t0 = _time.time()
-        n = engine.warmup(dual=getattr(args, "warmup_dual", False))
-        logger.info("warmed %d (bucket x rung) shapes in %.1fs",
-                    n, _time.time() - t0)
+        front = ContinuousBatchingEngine(
+            engine, slots=args.slots, chunk=args.chunk,
+            max_new_tokens=args.max_decode_tokens,
+        )
+        if not getattr(args, "no_warmup", False):
+            import time as _time
 
-    # one front end shared by every transport: concurrent clients coalesce
-    # into the same bucketed TPU calls regardless of protocol
-    front = StreamingFrontEnd(
-        engine, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
-    )
+            t0 = _time.time()
+            n = front.warmup()
+            logger.info("warmed %d continuous-mode programs in %.1fs",
+                        n, _time.time() - t0)
+    else:
+        if not getattr(args, "no_warmup", False):
+            # compile (or cache-load) every (bucket x rung) program BEFORE
+            # binding ports: otherwise the first request on each shape pays
+            # the full fused compile and early traffic stalls behind it
+            import time as _time
+
+            t0 = _time.time()
+            n = engine.warmup(dual=getattr(args, "warmup_dual", False))
+            logger.info("warmed %d (bucket x rung) shapes in %.1fs",
+                        n, _time.time() - t0)
+
+        # one front end shared by every transport: concurrent clients
+        # coalesce into the same bucketed TPU calls regardless of protocol
+        front = StreamingFrontEnd(
+            engine, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+        )
 
     servers = []
     if args.transport in ("http", "both"):

@@ -326,6 +326,28 @@ class TransformerMultiTask(nn.Module):
         )
         return out, {**cache, "layers": new_layers}
 
+    def decode_step_rows(self, tokens, positions, cache):
+        """One decode step with PER-ROW positions (continuous batching).
+
+        tokens: (R,) int32 current input token per slot; positions: (R,)
+        int32 per-slot cache write index (each slot is at a different
+        decode depth); cache: as ``init_decode_cache`` but with every
+        self-attention ``index`` reshaped to (R, 1, 1, 1) — the fused
+        where-append and the causal bias broadcast over it, so ragged
+        slots advance independently inside ONE batched step (the device
+        never sees the raggedness: static shapes, one program). beam is
+        1 by construction (one hypothesis per serving slot). Returns
+        ((R, d) hidden, cache with every slot's index advanced by 1).
+        """
+        emb = self.tgt_embed(tokens[:, None])  # (R, 1, d)
+        pos = jnp.clip(positions, 0, self.pe.shape[0] - 1)
+        pe = jnp.take(self.pe, pos, axis=0)  # (R, d)
+        emb = emb + pe[:, None, :].astype(emb.dtype)
+        out, new_layers = self.decoder.step(
+            emb, cache["layers"], cache["enc_bias"], 1
+        )
+        return out[:, 0, :], {**cache, "layers": new_layers}
+
     def decode_step(self, tokens, positions, cache):
         """One decode step.
 

@@ -269,7 +269,10 @@ class MultiHeadAttention(nn.Module):
         S = kT.shape[-1]
         from ..ops import pallas as pallas_mod
 
-        if pallas_mod.is_enabled() and bias is None:
+        # ragged (per-row-index) caches — continuous batching — carry the
+        # write index as (B, 1, 1, 1); the Pallas kernel takes a scalar,
+        # so route those through the broadcast path below (ndim is static)
+        if pallas_mod.is_enabled() and bias is None and jnp.ndim(idx) == 0:
             from ..ops.pallas.decode_attention import decode_self_attention
 
             scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
@@ -762,9 +765,12 @@ class DecoderLayer(nn.Module):
         else:
             # beam > 1 ⇒ the cache arrives through the parent gather each
             # step; the fused where-append rides the gather's output write
-            # for free.
+            # for free. Ragged caches (per-row index (B,1,1,1) — continuous
+            # batching) MUST use the fused where-append: dynamic_update_slice
+            # needs a scalar start index, the broadcast select does not.
+            ragged = jnp.ndim(cache["self"]["index"]) > 0
             h, self_cache = self.self_attn.step(
-                h, cache["self"], fused_update=beam > 1
+                h, cache["self"], fused_update=(beam > 1) or ragged
             )
         cross_scales = None
         if "cross_k_scale" in cache:  # int8 cross cache

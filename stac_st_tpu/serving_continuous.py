@@ -1,0 +1,479 @@
+"""Continuous (in-flight) batching: a persistent decode loop over slots.
+
+The coalescing front end (``serving_stream.py``) forms a batch and decodes
+it TO COMPLETION — one long utterance holds every row of its batch hostage,
+and a request arriving just after a batch forms waits out the whole engine
+call (head-of-line blocking at the decode level). This module removes both:
+a fixed pool of SLOTS decodes greedily in lock-step, and whenever a slot
+finishes (eos / budget), the host swaps a queued request into it between
+device dispatches while the other slots keep generating. The reference has
+no serving story at all (its inference is the batch recipe
+``stac-st/inference.py``); this is the production serving pattern
+(vLLM-style continuous batching) built TPU-first.
+
+TPU-native design — the device never sees the raggedness:
+
+* ONE compiled step program over all R slots, static shapes everywhere.
+  Each slot sits at its own decode depth: the per-layer KV write index is
+  an (R, 1, 1, 1) array and the fused where-append + causal bias broadcast
+  over it (``TransformerMultiTask.decode_step_rows``), so ragged slots
+  advance independently inside one batched matmul step.
+* Steps run in CHUNKS of ``chunk`` tokens per dispatch (a ``lax.scan``),
+  amortizing the host→device dispatch round trip; finished slots inside a
+  chunk emit a sentinel and are refilled at the next chunk boundary.
+* ADMISSION is one compiled program per audio bucket: encode the new
+  utterance, pad its encoder output to the largest bucket's frame count
+  (extra columns are masked by the per-slot cross-attention bias — padded
+  weights underflow to exact zeros), prime the 3-token language prompt
+  through ``decode_window``, and scatter the primed cache row into the
+  slot. The language prompt is per-slot runtime data, so one pool serves
+  any mix of ASR/ST and language pairs simultaneously.
+* State buffers are donated back to each program (``donate_argnums``), so
+  the persistent caches never copy.
+
+Decoding is GREEDY (beam 1): one hypothesis per slot is what makes slot
+swapping exact and cheap. That is a quality trade vs the batch engine's
+beam-10 default (the reference protocol's test config —
+``transformer_multitask.yaml:228-251``); use this engine for
+throughput/latency-bound serving and the batch engine for protocol-exact
+evaluation. Output per utterance is exactly the model's greedy decode
+(tests/test_serving_continuous.py asserts token equality vs a sequential
+single-utterance oracle).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import masks as M
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["ContinuousBatchingEngine"]
+
+_PROMPT_LEN = 3  # [bos, src_lang, tgt_lang] — mutitask_decoder.py:85-103
+
+
+@dataclass
+class _Request:
+    wav: np.ndarray
+    source_lang: str
+    target_lang: str
+    future: Future = field(default_factory=Future)
+    t_submit: float = 0.0
+
+
+class _Slot:
+    """Host-side mirror of one device slot."""
+
+    __slots__ = ("req", "tokens", "active", "t_admit")
+
+    def __init__(self):
+        self.req: Optional[_Request] = None
+        self.tokens: List[int] = []
+        self.active = False
+        self.t_admit = 0.0
+
+
+class ContinuousBatchingEngine:
+    """Slot-based continuous batching over an :class:`STEngine`'s model.
+
+    ::
+
+        cont = ContinuousBatchingEngine(engine, slots=8, chunk=16)
+        fut = cont.submit(wav, task="translate")
+        text = fut.result()
+        cont.close()
+
+    Parameters: ``slots`` — decode-loop width R (rows per step; size it to
+    the expected concurrency — idle slots still ride the batched matmuls);
+    ``chunk`` — decode steps per device dispatch (finished slots wait at
+    most one chunk for refill; larger chunks amortize dispatch overhead);
+    ``max_new_tokens`` — per-utterance generation budget (defaults to the
+    engine's serving cap; per-slot budget is
+    ``min(valid encoder frames, cap)`` — the reference's
+    ``max_decode_ratio`` semantic). The engine's ``kv_cache_dtype='int8'``
+    and ``weights_int8`` compose with this loop.
+    """
+
+    def __init__(self, engine, slots: int = 8, chunk: int = 16,
+                 max_new_tokens: Optional[int] = None,
+                 queue_capacity: int = 1024):
+        from .ops import pallas as pallas_mod
+
+        if pallas_mod.is_enabled():
+            raise RuntimeError(
+                "ContinuousBatchingEngine does not support the opt-in "
+                "Pallas decode kernels (they take a scalar cache index); "
+                "disable them for continuous serving")
+        if slots < 1 or chunk < 1:
+            raise ValueError("slots and chunk must be >= 1")
+        self.engine = engine
+        self.slots = int(slots)
+        self.chunk = int(chunk)
+        self.eos = int(engine.searcher.config.eos_index)
+        self.bos = int(engine.searcher.bos_token)
+        self.cap = int(max_new_tokens or engine.searcher.max_decode_tokens
+                       or 192)
+        self._kv_dtype = engine.searcher.kv_cache_dtype
+        R, CAP = self.slots, _PROMPT_LEN + self.cap
+
+        model = engine._transformer
+        seq_def = engine.searcher.seq_lin_def
+        encode = engine._encode
+        eos_const = self.eos
+        cap_const = self.cap
+        kv_dtype = self._kv_dtype
+
+        # encoder frame count per bucket width (static, via eval_shape)
+        widths = [int(b * engine.sample_rate) for b in engine.buckets]
+        probe = jax.eval_shape(
+            encode, engine.params, engine.cmvn,
+            jax.ShapeDtypeStruct((1, widths[-1]), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        )
+        self._S_max = S_max = probe.shape[1]
+        enc_dtype = probe.dtype
+
+        def _init_state(params):
+            enc0 = jnp.zeros((R, S_max, probe.shape[2]), enc_dtype)
+            bias0 = jnp.full((R, 1, 1, S_max), M.NEG_INF, jnp.float32)
+            cache = model.apply(
+                params["Transformer"], enc0, CAP, bias0, 1, False,
+                kv_dtype, method=model.init_decode_cache,
+            )
+            layers = [
+                {**ly, "self": {**ly["self"],
+                                "index": jnp.zeros((R, 1, 1, 1), jnp.int32)}}
+                for ly in cache["layers"]
+            ]
+            return {
+                "layers": layers,
+                "enc_bias": bias0,
+                "pos": jnp.zeros((R,), jnp.int32),
+                "last": jnp.zeros((R,), jnp.int32),
+                "done": jnp.ones((R,), bool),
+                "gen": jnp.zeros((R,), jnp.int32),
+                "budget": jnp.zeros((R,), jnp.int32),
+            }
+
+        self._state = jax.jit(_init_state)(engine.params)
+
+        def _merge_slot(state, slot, cache1, bias):
+            def dus0(big, row):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    big, row.astype(big.dtype), slot, axis=0)
+
+            idx_row = jnp.full((1, 1, 1, 1), _PROMPT_LEN, jnp.int32)
+            layers = []
+            for big, row in zip(state["layers"], cache1["layers"]):
+                sb, sr = big["self"], row["self"]
+                merged = {
+                    "k": dus0(sb["k"], sr["k"]),
+                    "v": dus0(sb["v"], sr["v"]),
+                    "index": jax.lax.dynamic_update_slice(
+                        sb["index"], idx_row, (slot, 0, 0, 0)),
+                }
+                for nm in ("k_scale", "v_scale"):
+                    if nm in sb:
+                        merged[nm] = dus0(sb[nm], sr[nm])
+                layer = {
+                    "self": merged,
+                    "cross_k": dus0(big["cross_k"], row["cross_k"]),
+                    "cross_v": dus0(big["cross_v"], row["cross_v"]),
+                }
+                for nm in ("cross_k_scale", "cross_v_scale"):
+                    if nm in big:
+                        layer[nm] = dus0(big[nm], row[nm])
+                layers.append(layer)
+            return layers, dus0(state["enc_bias"], bias)
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def _admit(params, cmvn, state, slot, wav, lens, prompt):
+            """Encode + prompt-prime one utterance into slot ``slot``.
+
+            Compiled once per audio bucket (wav width); ``slot`` and the
+            language prompt are runtime data. Returns (state', first
+            generated token, done flag) — the first token comes free from
+            the prompt's last hidden state."""
+            enc = encode(params, cmvn, wav, lens)  # (1, S_w, d)
+            S_w = enc.shape[1]
+            # reference mask semantics against the NATIVE frame count
+            # (masks.src_key_padding_mask_encode), then mask all padding
+            abs_len = jnp.floor(lens * S_w)  # (1,)
+            mask = jnp.arange(S_max)[None, :] > abs_len[:, None]
+            bias = M.additive_bias(mask[:, None, None, :])  # (1,1,1,S_max)
+            enc_p = jnp.pad(enc, ((0, 0), (0, S_max - S_w), (0, 0)))
+            cache1 = model.apply(
+                params["Transformer"], enc_p, CAP, bias, 1, False,
+                kv_dtype, method=model.init_decode_cache,
+            )
+            hidden, cache1 = model.apply(
+                params["Transformer"], prompt[None, :],
+                jnp.zeros((), jnp.int32), cache1,
+                method=model.decode_window,
+            )  # (1, P, d)
+            logits = seq_def.apply(params["seq_lin"], hidden[:, -1, :])
+            first = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
+            valid = (abs_len[0] + 1).astype(jnp.int32)  # frames kept
+            budget = jnp.minimum(valid, cap_const)
+
+            layers, enc_bias = _merge_slot(state, slot, cache1, bias)
+            first_is_eos = first == eos_const
+            gen0 = jnp.where(first_is_eos, 0, 1)
+            done0 = first_is_eos | (gen0 >= budget)
+
+            def put(arr, val, dtype):
+                return jax.lax.dynamic_update_slice(
+                    arr, jnp.full((1,), val, dtype), (slot,))
+
+            return {
+                "layers": layers,
+                "enc_bias": enc_bias,
+                "pos": put(state["pos"], _PROMPT_LEN, jnp.int32),
+                "last": put(state["last"], first, jnp.int32),
+                "done": put(state["done"], done0, bool),
+                "gen": put(state["gen"], gen0, jnp.int32),
+                "budget": put(state["budget"], budget, jnp.int32),
+            }, first, done0
+
+        self._admit = _admit
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def _step_chunk(params, state):
+            """Advance every slot ``chunk`` greedy steps in one dispatch.
+
+            Finished slots keep riding the batched matmuls (static
+            shapes) but emit the -1 sentinel; their stale cache rows are
+            fully overwritten on the next admit."""
+
+            def body(st, _):
+                cache = {"layers": st["layers"],
+                         "enc_bias": st["enc_bias"]}
+                hidden, cache = model.apply(
+                    params["Transformer"], st["last"], st["pos"], cache,
+                    method=model.decode_step_rows,
+                )  # (R, d)
+                logits = seq_def.apply(params["seq_lin"], hidden)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                active = jnp.logical_not(st["done"])
+                is_eos = nxt == eos_const
+                emit_ok = active & jnp.logical_not(is_eos)
+                emit = jnp.where(emit_ok, nxt, -1)
+                gen = st["gen"] + emit_ok.astype(jnp.int32)
+                done = st["done"] | (active & is_eos) | (gen >= st["budget"])
+                st2 = {
+                    "layers": cache["layers"],
+                    "enc_bias": st["enc_bias"],
+                    "pos": jnp.where(active, st["pos"] + 1, st["pos"]),
+                    "last": jnp.where(emit_ok, nxt, st["last"]),
+                    "done": done,
+                    "gen": gen,
+                    "budget": st["budget"],
+                }
+                return st2, emit
+
+            state, emits = jax.lax.scan(body, state, None,
+                                        length=self.chunk)
+            return state, jnp.swapaxes(emits, 0, 1), state["done"]
+
+        self._step_chunk = _step_chunk
+
+        # ------------------------------------------------- host-side loop
+        self._queue: "queue.Queue[_Request]" = queue.Queue(queue_capacity)
+        self._slots = [_Slot() for _ in range(R)]
+        self._free = list(range(R))
+        self._closing = threading.Event()
+        self._stats: Dict[str, float] = {
+            "submitted": 0, "completed": 0, "chunks": 0, "admits": 0,
+            "tokens": 0, "active_slot_steps": 0, "slot_steps": 0,
+        }
+        self._lock = threading.Lock()
+        self._worker = threading.Thread(
+            target=self._run, name="continuous-batching", daemon=True)
+        self._worker.start()
+
+    # ----------------------------------------------------------------- API
+    def start(self) -> None:
+        """Front-end protocol no-op: the slot loop starts at construction.
+
+        Present so the engine drops into :class:`~.serving_http.STHttpServer`
+        / :class:`~.serving_grpc.STGrpcServer` wherever a
+        :class:`~.serving_stream.StreamingFrontEnd` is expected."""
+
+    def stats(self) -> Dict[str, float]:
+        """Snapshot of loop counters (front-end protocol)."""
+        with self._lock:
+            snap = dict(self._stats)
+        snap["queued"] = self._queue.qsize()
+        snap["active_slots"] = sum(1 for s in self._slots if s.active)
+        total = snap["slot_steps"]
+        snap["utilization"] = (
+            snap["active_slot_steps"] / total if total else 0.0)
+        return snap
+
+    def warmup(self) -> int:
+        """Compile the admit program for every audio bucket + the chunk
+        step, by running one silent utterance per bucket through the loop.
+        Returns the number of programs warmed."""
+        futs = [self.submit(np.zeros(int(b * self.engine.sample_rate),
+                                     np.float32), "transcribe")
+                for b in self.engine.buckets]
+        for f in futs:
+            f.result(timeout=600)
+        return len(futs) + 1  # admits + the shared chunk step
+    def submit(self, wav: np.ndarray, task: str = "translate",
+               source_lang: Optional[str] = None,
+               target_lang: Optional[str] = None) -> Future:
+        """Enqueue one utterance; the Future resolves to the decoded text.
+
+        ``task``: 'translate' (src→tgt) or 'transcribe' (src→src)."""
+        if self._closing.is_set():
+            raise RuntimeError("engine is closed")
+        src = source_lang or self.engine.source_lang
+        if task == "translate":
+            tgt = target_lang or self.engine.target_lang
+        elif task == "transcribe":
+            tgt = src
+        else:
+            raise ValueError(
+                f"the continuous engine serves translate|transcribe; "
+                f"{task!r} needs the batch front end "
+                f"(serving_stream.StreamingFrontEnd)")
+        wav = np.asarray(wav)
+        if wav.dtype == np.int16:
+            wav = wav.astype(np.float32) / 32768.0
+        else:
+            wav = wav.astype(np.float32)
+        req = _Request(wav=wav, source_lang=src, target_lang=tgt,
+                       t_submit=time.monotonic())
+        self._queue.put(req)
+        with self._lock:
+            self._stats["submitted"] += 1
+        return req.future
+
+    def translate(self, wavs, source_lang=None, target_lang=None):
+        futs = [self.submit(w, "translate", source_lang, target_lang)
+                for w in wavs]
+        return [f.result() for f in futs]
+
+    def transcribe(self, wavs, source_lang=None):
+        futs = [self.submit(w, "transcribe", source_lang) for w in wavs]
+        return [f.result() for f in futs]
+
+    def close(self, timeout: float = 60.0) -> None:
+        """Drain in-flight work, then stop the worker."""
+        self._closing.set()
+        self._worker.join(timeout)
+        # anything still queued after the drain window fails loudly
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            req.future.set_exception(RuntimeError("engine closed"))
+
+    def utilization(self) -> float:
+        """Mean fraction of slot-steps that carried an active request."""
+        with self._lock:
+            total = self._stats["slot_steps"]
+            return (self._stats["active_slot_steps"] / total
+                    ) if total else 0.0
+
+    # ------------------------------------------------------------- worker
+    def _prompt_ids(self, src: str, tgt: str) -> jnp.ndarray:
+        sp = self.engine.tokenizer
+        src_id = sp.encode_as_ids(f"[{src}]")[-1]
+        tgt_id = sp.encode_as_ids(f"[{tgt}]")[-1]
+        return jnp.asarray([self.bos, src_id, tgt_id], jnp.int32)
+
+    def _do_admit(self, s: int, req: _Request) -> None:
+        eng = self.engine
+        width = eng._bucket_width(len(req.wav))
+        wav = np.zeros((1, width), np.float32)
+        wav[0, : len(req.wav)] = req.wav
+        lens = np.asarray([len(req.wav) / width], np.float32)
+        prompt = self._prompt_ids(req.source_lang, req.target_lang)
+        self._state, first, done0 = self._admit(
+            eng.params, eng.cmvn, self._state, jnp.asarray(s, jnp.int32),
+            jnp.asarray(wav), jnp.asarray(lens), prompt,
+        )
+        first = int(first)
+        slot = self._slots[s]
+        slot.req, slot.tokens, slot.active = req, [], True
+        slot.t_admit = time.monotonic()
+        if first != self.eos:
+            slot.tokens.append(first)
+        with self._lock:
+            self._stats["admits"] += 1
+        if bool(done0):
+            self._finish(s)
+
+    def _finish(self, s: int) -> None:
+        slot = self._slots[s]
+        req, tokens = slot.req, slot.tokens
+        slot.req, slot.tokens, slot.active = None, [], False
+        self._free.append(s)
+        with self._lock:
+            self._stats["completed"] += 1
+            self._stats["tokens"] += len(tokens)
+        try:
+            text = self.engine.tokenizer.decode_ids(tokens)
+            req.future.set_result(text)
+        except Exception as e:  # tokenizer failure must not kill the loop
+            req.future.set_exception(e)
+
+    def _run(self) -> None:
+        while True:
+            # refill free slots from the queue
+            while self._free:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                try:
+                    self._do_admit(self._free.pop(), req)
+                except Exception as e:
+                    logger.exception("admit failed")
+                    req.future.set_exception(e)
+            active = [i for i, sl in enumerate(self._slots) if sl.active]
+            if not active:
+                if self._closing.is_set():
+                    return
+                try:
+                    req = self._queue.get(timeout=0.05)
+                except queue.Empty:
+                    continue
+                try:
+                    self._do_admit(self._free.pop(), req)
+                except Exception as e:
+                    logger.exception("admit failed")
+                    req.future.set_exception(e)
+                continue
+            # advance everyone by one chunk
+            self._state, emits, done = self._step_chunk(
+                self.engine.params, self._state)
+            emits = np.asarray(emits)
+            done = np.asarray(done)
+            with self._lock:
+                self._stats["chunks"] += 1
+                self._stats["slot_steps"] += self.slots * self.chunk
+                self._stats["active_slot_steps"] += (
+                    len(active) * self.chunk)
+            for s in active:
+                toks = emits[s]
+                self._slots[s].tokens.extend(
+                    int(t) for t in toks[toks >= 0])
+                if done[s]:
+                    self._finish(s)

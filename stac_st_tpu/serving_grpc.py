@@ -88,6 +88,8 @@ class _Servicer:
                 source_lang=request.source_lang or None,
                 target_lang=request.target_lang or None,
             )
+        except ValueError as exc:  # task unsupported by this front end
+            context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(exc))
         except RuntimeError as exc:  # front end closed
             context.abort(grpc.StatusCode.UNAVAILABLE, str(exc))
         # respect the client's deadline when it is tighter than ours
@@ -228,7 +230,10 @@ class STGrpcServer:
                  stream_window_seconds: float = 16.0,
                  **front_kwargs):
         _require_grpc()
-        if isinstance(engine_or_front, StreamingFrontEnd):
+        # anything exposing submit() is already a front end (the batch
+        # StreamingFrontEnd or the ContinuousBatchingEngine); a bare
+        # STEngine gets wrapped in the batch front end
+        if hasattr(engine_or_front, "submit"):
             self.front = engine_or_front
             self._owns_front = False
         else:

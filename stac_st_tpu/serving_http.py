@@ -108,6 +108,8 @@ class _Handler(BaseHTTPRequestHandler):
                 target_lang=payload.get("target_lang"),
             )
             result = fut.result(timeout=self.request_timeout)
+        except ValueError as exc:  # task unsupported by this front end
+            return self._reply(400, {"error": str(exc)})
         except RuntimeError as exc:  # front end closed
             return self._reply(503, {"error": str(exc)})
         # concurrent.futures.TimeoutError is only an alias of the builtin
@@ -142,7 +144,10 @@ class STHttpServer:
     def __init__(self, engine_or_front, host: str = "127.0.0.1",
                  port: int = 8080, request_timeout: float = 300.0,
                  **front_kwargs):
-        if isinstance(engine_or_front, StreamingFrontEnd):
+        # anything exposing submit() is already a front end (the batch
+        # StreamingFrontEnd or the ContinuousBatchingEngine); a bare
+        # STEngine gets wrapped in the batch front end
+        if hasattr(engine_or_front, "submit"):
             self.front = engine_or_front
             self._owns_front = False
         else:

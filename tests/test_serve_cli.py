@@ -107,3 +107,51 @@ class TestServeCli:
         assert args.transport == "http"
         assert args.buckets == "2,4,8,16,32"
         assert not args.no_bf16
+        assert not args.continuous
+        assert args.slots == 8 and args.chunk == 16
+
+    def test_continuous_mode_over_http(self, experiment, rng):
+        """--continuous serves through the slot loop: the front end IS the
+        ContinuousBatchingEngine, warmup compiled every bucket, and a
+        request round-trips over HTTP."""
+        import urllib.request
+
+        from recipes.serve import build_parser, start_servers
+        from stac_st_tpu.serving_continuous import ContinuousBatchingEngine
+
+        args = build_parser().parse_args([
+            experiment, "--transport", "http", "--http-port", "0",
+            "--continuous", "--slots", "2", "--chunk", "4",
+            "--buckets", "0.5", "--no-bf16", "--max-decode-tokens", "8",
+        ])
+        front, servers = start_servers(args)
+        try:
+            assert isinstance(front, ContinuousBatchingEngine)
+            assert servers[0].front is front
+            warmed = front.stats()["completed"]  # one per bucket
+            assert warmed == 1
+
+            wav = rng.standard_normal(4000).astype(np.float32)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{servers[0].port}/v1/translate",
+                data=json.dumps({"audio": wav.tolist()}).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                out = json.loads(resp.read())
+            assert isinstance(out["text"], str)
+            assert front.stats()["completed"] == warmed + 1
+        finally:
+            for s in servers:
+                s.close()
+            front.close()
+
+    def test_continuous_rejects_data_parallel(self):
+        from recipes.serve import build_parser, start_servers
+
+        args = build_parser().parse_args(
+            ["exp", "--continuous", "--data-parallel", "2",
+             "--compile-cache", "off"])
+        with pytest.raises(SystemExit):
+            start_servers(args)

@@ -1,0 +1,316 @@
+"""Continuous (in-flight) batching: exactness vs a sequential greedy oracle.
+
+The contract: every utterance decoded through the slot loop yields EXACTLY
+the model's greedy decode — independent of what other requests share the
+slot pool, when the request was admitted, which slot it landed in, or how
+often the slot was reused. The oracle below mirrors the admit math
+(encode → pad to S_max → prompt prime via decode_window) and then takes
+plain scalar decode steps; the engine must match token-for-token.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from stac_st_tpu.models import (
+    ConvolutionFrontEnd,
+    LinearHead,
+    TransformerMultiTask,
+)
+from stac_st_tpu.ops import masks as M
+from stac_st_tpu.ops.cmvn import cmvn_init
+from stac_st_tpu.serving import STEngine
+from stac_st_tpu.serving_continuous import ContinuousBatchingEngine
+
+VOCAB = 150
+CAP = 10  # small generation budget keeps the tests fast
+
+
+@pytest.fixture(scope="module")
+def parts(tmp_path_factory):
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import make_corpus, train_fixture_tokenizer
+
+    root = str(tmp_path_factory.mktemp("contserve"))
+    _, _, joint = make_corpus(root, n_utts=4, seconds=0.4)
+    sp, _ = train_fixture_tokenizer(root, joint, vocab=VOCAB)
+
+    cnn = ConvolutionFrontEnd(out_channels=(16, 16))
+    transformer = TransformerMultiTask(
+        tgt_vocab=VOCAB, input_size=20 * 16, d_model=32, nhead=4,
+        num_encoder_layers=2, num_decoder_layers=2, d_ffn=64,
+        dropout=0.0, normalize_before=True,
+    )
+    seq_lin = LinearHead(input_size=32, n_neurons=VOCAB)
+    rng = jax.random.PRNGKey(0)
+    feats = jnp.zeros((1, 41, 80))
+    cnn_p = cnn.init(rng, feats)
+    src = cnn.apply(cnn_p, feats)
+    tr_p = transformer.init(rng, src, jnp.ones((1, 4), jnp.int32))
+    enc = transformer.apply(tr_p, src, method=transformer.encode)
+    params = {
+        "CNN": cnn_p,
+        "Transformer": tr_p,
+        "seq_lin": seq_lin.init(rng, enc),
+    }
+    return dict(cnn=cnn, transformer=transformer, seq_lin=seq_lin,
+                params=params, sp=sp)
+
+
+def _build_engine(p, **kw):
+    opts = dict(beam_size=2, bucket_seconds=(0.5, 1.0), bf16=False,
+                max_decode_tokens=CAP)
+    opts.update(kw)
+    return STEngine(
+        p["transformer"], p["cnn"], p["seq_lin"], None,
+        p["params"], cmvn_init(80), p["sp"], **opts,
+    )
+
+
+def _oracle_tokens(engine, S_max, wav, src, tgt, cap=CAP):
+    """Sequential greedy decode of one utterance, mirroring admit math."""
+    model = engine._transformer
+    seq = engine.searcher.seq_lin_def
+    sp = engine.tokenizer
+    eos = engine.searcher.config.eos_index
+    src_id = sp.encode_as_ids(f"[{src}]")[-1]
+    tgt_id = sp.encode_as_ids(f"[{tgt}]")[-1]
+    prompt = jnp.asarray(
+        [engine.searcher.bos_token, src_id, tgt_id], jnp.int32)
+
+    width = engine._bucket_width(len(wav))
+    batch = np.zeros((1, width), np.float32)
+    batch[0, : len(wav)] = wav
+    lens = jnp.asarray([len(wav) / width], jnp.float32)
+    enc = engine._encode(engine.params, engine.cmvn,
+                         jnp.asarray(batch), lens)
+    S_w = enc.shape[1]
+    abs_len = jnp.floor(lens * S_w)
+    mask = jnp.arange(S_max)[None, :] > abs_len[:, None]
+    bias = M.additive_bias(mask[:, None, None, :])
+    enc_p = jnp.pad(enc, ((0, 0), (0, S_max - S_w), (0, 0)))
+    tp = engine.params["Transformer"]
+    cache = model.apply(
+        tp, enc_p, 3 + cap, bias, 1, False,
+        engine.searcher.kv_cache_dtype, method=model.init_decode_cache)
+    hidden, cache = model.apply(
+        tp, prompt[None, :], jnp.zeros((), jnp.int32), cache,
+        method=model.decode_window)
+    logits = seq.apply(engine.params["seq_lin"], hidden[:, -1, :])
+    tok = int(jnp.argmax(logits[0]))
+    budget = min(int(abs_len[0]) + 1, cap)
+    out, pos = [], 3
+    while tok != eos and len(out) < budget:
+        out.append(tok)
+        if len(out) >= budget:
+            break
+        hidden, cache = model.apply(
+            tp, jnp.asarray([tok], jnp.int32), jnp.asarray(pos), cache,
+            method=model.decode_step)
+        logits = seq.apply(engine.params["seq_lin"], hidden)
+        tok = int(jnp.argmax(logits[0]))
+        pos += 1
+    return out
+
+
+def _wav(rng, seconds):
+    return rng.standard_normal(int(seconds * 16000)).astype(np.float32)
+
+
+class TestContinuousExactness:
+    def test_single_matches_oracle(self, parts, rng):
+        engine = _build_engine(parts)
+        cont = ContinuousBatchingEngine(engine, slots=2, chunk=4)
+        try:
+            wav = _wav(rng, 0.4)
+            got = cont.submit(wav, "translate").result(timeout=300)
+            want = engine.tokenizer.decode_ids(
+                _oracle_tokens(engine, cont._S_max, wav, "es", "en"))
+            assert got == want
+        finally:
+            cont.close()
+
+    def test_mixed_concurrent_matches_oracles(self, parts, rng):
+        """9 mixed-length requests over 3 slots, both tasks interleaved:
+        slot reuse, ragged depths, and mid-flight admission all exact."""
+        engine = _build_engine(parts)
+        cont = ContinuousBatchingEngine(engine, slots=3, chunk=3)
+        try:
+            specs = [
+                (0.2, "translate"), (0.8, "transcribe"), (0.45, "translate"),
+                (0.9, "translate"), (0.3, "transcribe"), (0.7, "translate"),
+                (0.5, "transcribe"), (0.25, "translate"), (0.85, "translate"),
+            ]
+            wavs = [_wav(rng, s) for s, _ in specs]
+            futs = [cont.submit(w, task) for w, (_, task) in
+                    zip(wavs, specs)]
+            got = [f.result(timeout=300) for f in futs]
+            for g, w, (_, task) in zip(got, wavs, specs):
+                tgt = "en" if task == "translate" else "es"
+                want = engine.tokenizer.decode_ids(
+                    _oracle_tokens(engine, cont._S_max, w, "es", tgt))
+                assert g == want
+            stats = cont.stats()
+            assert stats["completed"] == len(specs)
+            assert 0.0 < cont.utilization() <= 1.0
+            assert stats["utilization"] == cont.utilization()
+        finally:
+            cont.close()
+
+    def test_budget_cut(self, parts, rng):
+        engine = _build_engine(parts)
+        cont = ContinuousBatchingEngine(engine, slots=2, chunk=4,
+                                        max_new_tokens=3)
+        try:
+            wav = _wav(rng, 0.4)
+            got = cont.submit(wav).result(timeout=300)
+            want = engine.tokenizer.decode_ids(
+                _oracle_tokens(engine, cont._S_max, wav, "es", "en",
+                               cap=3))
+            assert got == want
+            n_tokens = len(
+                engine.tokenizer.encode_as_ids(got)) if got else 0
+            assert n_tokens <= 4  # detok may merge; budget binds on ids
+        finally:
+            cont.close()
+
+    def test_int8_kv_cache_matches_int8_oracle(self, parts, rng):
+        engine = _build_engine(parts, kv_cache_dtype="int8")
+        cont = ContinuousBatchingEngine(engine, slots=2, chunk=4)
+        try:
+            wavs = [_wav(rng, 0.3), _wav(rng, 0.8)]
+            futs = [cont.submit(w) for w in wavs]
+            got = [f.result(timeout=300) for f in futs]
+            for g, w in zip(got, wavs):
+                want = engine.tokenizer.decode_ids(
+                    _oracle_tokens(engine, cont._S_max, w, "es", "en"))
+                assert g == want
+        finally:
+            cont.close()
+
+    def test_int8_weights_matches_int8_oracle(self, parts, rng):
+        """Weight-only int8 composes: the slot loop runs the SAME
+        quantized decoder params, so it must match the quantized
+        sequential oracle token-for-token."""
+        engine = _build_engine(parts, weights_int8=True)
+        cont = ContinuousBatchingEngine(engine, slots=2, chunk=4)
+        try:
+            wav = _wav(rng, 0.5)
+            got = cont.submit(wav).result(timeout=300)
+            want = engine.tokenizer.decode_ids(
+                _oracle_tokens(engine, cont._S_max, wav, "es", "en"))
+            assert got == want
+        finally:
+            cont.close()
+
+
+class TestContinuousLifecycle:
+    def test_staggered_arrivals(self, parts, rng):
+        """Requests arriving while others are mid-decode are admitted into
+        freed slots and still decode exactly."""
+        engine = _build_engine(parts)
+        cont = ContinuousBatchingEngine(engine, slots=2, chunk=2)
+        try:
+            first = [cont.submit(_wav(rng, 0.8)) for _ in range(2)]
+            time.sleep(0.1)
+            late_wav = _wav(rng, 0.3)
+            late = cont.submit(late_wav, "transcribe")
+            for f in first:
+                f.result(timeout=300)
+            got = late.result(timeout=300)
+            want = engine.tokenizer.decode_ids(
+                _oracle_tokens(engine, cont._S_max, late_wav, "es", "es"))
+            assert got == want
+        finally:
+            cont.close()
+
+    def test_close_rejects_new_work(self, parts, rng):
+        engine = _build_engine(parts)
+        cont = ContinuousBatchingEngine(engine, slots=2, chunk=2)
+        cont.close()
+        with pytest.raises(RuntimeError):
+            cont.submit(_wav(rng, 0.2))
+
+    def test_close_drains_in_flight(self, parts, rng):
+        engine = _build_engine(parts)
+        cont = ContinuousBatchingEngine(engine, slots=2, chunk=2)
+        futs = [cont.submit(_wav(rng, 0.4)) for _ in range(4)]
+        cont.close()
+        for f in futs:
+            assert isinstance(f.result(timeout=10), str)
+
+    def test_http_front_end(self, parts, rng):
+        """The continuous engine drops into STHttpServer as the front end:
+        decodes are exact over the wire, unsupported routes map to 400,
+        and /stats reports the loop counters."""
+        import base64
+        import json
+        import urllib.error
+        import urllib.request
+
+        from stac_st_tpu.serving_http import STHttpServer
+
+        engine = _build_engine(parts)
+        cont = ContinuousBatchingEngine(engine, slots=2, chunk=4)
+        try:
+            with STHttpServer(cont, port=0) as srv:
+                wav = _wav(rng, 0.4)
+                body = json.dumps({
+                    "audio_b64": base64.b64encode(
+                        wav.astype(np.float32).tobytes()).decode(),
+                }).encode()
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{srv.port}/v1/translate",
+                    data=body,
+                    headers={"Content-Type": "application/json"},
+                    method="POST")
+                with urllib.request.urlopen(req, timeout=300) as resp:
+                    out = json.loads(resp.read())
+                want = engine.tokenizer.decode_ids(
+                    _oracle_tokens(engine, cont._S_max, wav, "es", "en"))
+                assert out["text"] == want
+
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{srv.port}/v1/speaker_turns",
+                    data=body,
+                    headers={"Content-Type": "application/json"},
+                    method="POST")
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    urllib.request.urlopen(req, timeout=60)
+                assert ei.value.code == 400
+
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{srv.port}/stats",
+                        timeout=60) as resp:
+                    stats = json.loads(resp.read())
+                assert stats["completed"] >= 1
+                assert "utilization" in stats
+        finally:
+            cont.close()
+
+    def test_warmup_compiles_every_bucket(self, parts):
+        engine = _build_engine(parts)
+        cont = ContinuousBatchingEngine(engine, slots=2, chunk=4)
+        try:
+            n = cont.warmup()
+            assert n == len(engine.buckets) + 1
+            assert cont.stats()["completed"] == len(engine.buckets)
+        finally:
+            cont.close()
+
+    def test_pallas_mode_rejected(self, parts):
+        from stac_st_tpu.ops import pallas as pallas_mod
+
+        engine = _build_engine(parts)
+        pallas_mod.enable(interpret=True)
+        try:
+            with pytest.raises(RuntimeError):
+                ContinuousBatchingEngine(engine)
+        finally:
+            pallas_mod.disable()

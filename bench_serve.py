@@ -218,10 +218,13 @@ def main():
     if front_kind == "continuous":
         from stac_st_tpu.serving_continuous import ContinuousBatchingEngine
 
+        rungs_spec = os.environ.get("STAC_SERVE_ADMIT_RUNGS")
         front = ContinuousBatchingEngine(
             engine,
             slots=int(os.environ.get("STAC_SERVE_SLOTS", "16")),
             chunk=int(os.environ.get("STAC_SERVE_CHUNK", "16")),
+            admit_rungs=(tuple(int(s) for s in rungs_spec.split(","))
+                         if rungs_spec else None),
         )
         front.warmup()
         print("# continuous front end warmed", flush=True)

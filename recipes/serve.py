@@ -86,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "step)")
     p.add_argument("--chunk", type=int, default=16,
                    help="continuous mode: decode steps per device dispatch")
+    p.add_argument("--admit-rungs", default=None,
+                   help="continuous mode: comma-separated admission group "
+                        "sizes (one compiled program per bucket x rung; "
+                        "default: 1,4,<slots> ladder)")
     p.add_argument("--max-wait-ms", type=float, default=20.0)
     p.add_argument("--request-timeout", type=float, default=300.0)
     p.add_argument("--compile-cache", default="auto",
@@ -187,9 +191,12 @@ def start_servers(args):
         # loop; requests swap into freed slots between device dispatches
         from stac_st_tpu.serving_continuous import ContinuousBatchingEngine
 
+        rungs = (tuple(int(s) for s in args.admit_rungs.split(",")
+                       if s.strip())
+                 if args.admit_rungs else None)
         front = ContinuousBatchingEngine(
             engine, slots=args.slots, chunk=args.chunk,
-            max_new_tokens=args.max_decode_tokens,
+            max_new_tokens=args.max_decode_tokens, admit_rungs=rungs,
         )
         if not getattr(args, "no_warmup", False):
             import time as _time

@@ -21,13 +21,17 @@ TPU-native design — the device never sees the raggedness:
 * Steps run in CHUNKS of ``chunk`` tokens per dispatch (a ``lax.scan``),
   amortizing the host→device dispatch round trip; finished slots inside a
   chunk emit a sentinel and are refilled at the next chunk boundary.
-* ADMISSION is one compiled program per audio bucket: encode the new
-  utterance, pad its encoder output to the largest bucket's frame count
-  (extra columns are masked by the per-slot cross-attention bias — padded
-  weights underflow to exact zeros), prime the 3-token language prompt
-  through ``decode_window``, and scatter the primed cache row into the
-  slot. The language prompt is per-slot runtime data, so one pool serves
-  any mix of ASR/ST and language pairs simultaneously.
+* ADMISSION is BATCHED: queued requests are grouped by audio bucket and
+  admitted through one compiled program per (bucket, rung) shape — encode
+  the group together (the expensive part amortizes exactly like the batch
+  engine's encoder), pad encoder outputs to the largest bucket's frame
+  count (extra columns are masked by the per-slot cross-attention bias —
+  padded weights underflow to exact zeros), prime the 3-token language
+  prompts through ``decode_window``, and SCATTER the primed rows into
+  their slots in one op. Rows padding the group up to the rung scatter to
+  index R with ``mode='drop'`` — the device-native way to mask a write.
+  The language prompt is per-slot runtime data, so one pool serves any
+  mix of ASR/ST and language pairs simultaneously.
 * State buffers are donated back to each program (``donate_argnums``), so
   the persistent caches never copy.
 
@@ -43,6 +47,7 @@ single-utterance oracle).
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import queue
 import threading
@@ -50,7 +55,7 @@ import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -103,12 +108,17 @@ class ContinuousBatchingEngine:
     ``max_new_tokens`` — per-utterance generation budget (defaults to the
     engine's serving cap; per-slot budget is
     ``min(valid encoder frames, cap)`` — the reference's
-    ``max_decode_ratio`` semantic). The engine's ``kv_cache_dtype='int8'``
-    and ``weights_int8`` compose with this loop.
+    ``max_decode_ratio`` semantic); ``admit_rungs`` — admission group
+    sizes, one compiled program per (bucket, rung); a queued burst admits
+    at the smallest rung that fits, so a lone request pays a 1-row encode
+    while a burst amortizes one encoder pass over the whole group
+    (default ladder: 1, 4, ``slots``). The engine's
+    ``kv_cache_dtype='int8'`` and ``weights_int8`` compose with this loop.
     """
 
     def __init__(self, engine, slots: int = 8, chunk: int = 16,
                  max_new_tokens: Optional[int] = None,
+                 admit_rungs: Optional[Sequence[int]] = None,
                  queue_capacity: int = 1024):
         from .ops import pallas as pallas_mod
 
@@ -129,6 +139,17 @@ class ContinuousBatchingEngine:
         self._kv_dtype = engine.searcher.kv_cache_dtype
         R, CAP = self.slots, _PROMPT_LEN + self.cap
 
+        if admit_rungs is None:
+            admit_rungs = (1, 4, self.slots)
+        rungs = sorted({int(r) for r in admit_rungs
+                        if 1 <= int(r) <= self.slots})
+        if not rungs:
+            raise ValueError(f"admit_rungs {admit_rungs!r}: no rung in "
+                             f"[1, slots={self.slots}]")
+        if rungs[-1] != self.slots:
+            rungs.append(self.slots)  # a full-pool burst must fit one call
+        self._admit_rungs: Tuple[int, ...] = tuple(rungs)
+
         model = engine._transformer
         seq_def = engine.searcher.seq_lin_def
         encode = engine._encode
@@ -138,6 +159,7 @@ class ContinuousBatchingEngine:
 
         # encoder frame count per bucket width (static, via eval_shape)
         widths = [int(b * engine.sample_rate) for b in engine.buckets]
+        self._widths = widths
         probe = jax.eval_shape(
             encode, engine.params, engine.cmvn,
             jax.ShapeDtypeStruct((1, widths[-1]), jnp.float32),
@@ -170,85 +192,88 @@ class ContinuousBatchingEngine:
 
         self._state = jax.jit(_init_state)(engine.params)
 
-        def _merge_slot(state, slot, cache1, bias):
-            def dus0(big, row):
-                return jax.lax.dynamic_update_slice_in_dim(
-                    big, row.astype(big.dtype), slot, axis=0)
-
-            idx_row = jnp.full((1, 1, 1, 1), _PROMPT_LEN, jnp.int32)
-            layers = []
-            for big, row in zip(state["layers"], cache1["layers"]):
-                sb, sr = big["self"], row["self"]
-                merged = {
-                    "k": dus0(sb["k"], sr["k"]),
-                    "v": dus0(sb["v"], sr["v"]),
-                    "index": jax.lax.dynamic_update_slice(
-                        sb["index"], idx_row, (slot, 0, 0, 0)),
-                }
-                for nm in ("k_scale", "v_scale"):
-                    if nm in sb:
-                        merged[nm] = dus0(sb[nm], sr[nm])
-                layer = {
-                    "self": merged,
-                    "cross_k": dus0(big["cross_k"], row["cross_k"]),
-                    "cross_v": dus0(big["cross_v"], row["cross_v"]),
-                }
-                for nm in ("cross_k_scale", "cross_v_scale"):
-                    if nm in big:
-                        layer[nm] = dus0(big[nm], row[nm])
-                layers.append(layer)
-            return layers, dus0(state["enc_bias"], bias)
-
         @partial(jax.jit, donate_argnums=(2,))
-        def _admit(params, cmvn, state, slot, wav, lens, prompt):
-            """Encode + prompt-prime one utterance into slot ``slot``.
+        def _admit_batch(params, cmvn, state, slot_ids, valid, wavs, lens,
+                         prompts):
+            """Encode + prompt-prime a GROUP of utterances into slots.
 
-            Compiled once per audio bucket (wav width); ``slot`` and the
-            language prompt are runtime data. Returns (state', first
-            generated token, done flag) — the first token comes free from
-            the prompt's last hidden state."""
-            enc = encode(params, cmvn, wav, lens)  # (1, S_w, d)
-            S_w = enc.shape[1]
+            Compiled once per (bucket width, rung A); ``slot_ids`` (A,),
+            ``valid`` (A,) bool, and the language ``prompts`` (A, 3) are
+            runtime data. Rows with ``valid=False`` pad the group up to
+            the rung: their scatter index becomes R and ``mode='drop'``
+            discards the write on device — no masking select needed.
+            Returns (state', first tokens (A,), done flags (A,)) — the
+            first generated token comes free from each prompt's last
+            hidden state."""
+            enc = encode(params, cmvn, wavs, lens)  # (A, S_w, d)
+            A, S_w = enc.shape[0], enc.shape[1]
             # reference mask semantics against the NATIVE frame count
             # (masks.src_key_padding_mask_encode), then mask all padding
-            abs_len = jnp.floor(lens * S_w)  # (1,)
+            abs_len = jnp.floor(lens * S_w)  # (A,)
             mask = jnp.arange(S_max)[None, :] > abs_len[:, None]
-            bias = M.additive_bias(mask[:, None, None, :])  # (1,1,1,S_max)
+            bias = M.additive_bias(mask[:, None, None, :])  # (A,1,1,S_max)
             enc_p = jnp.pad(enc, ((0, 0), (0, S_max - S_w), (0, 0)))
-            cache1 = model.apply(
+            cache_a = model.apply(
                 params["Transformer"], enc_p, CAP, bias, 1, False,
                 kv_dtype, method=model.init_decode_cache,
             )
-            hidden, cache1 = model.apply(
-                params["Transformer"], prompt[None, :],
-                jnp.zeros((), jnp.int32), cache1,
+            hidden, cache_a = model.apply(
+                params["Transformer"], prompts,
+                jnp.zeros((), jnp.int32), cache_a,
                 method=model.decode_window,
-            )  # (1, P, d)
+            )  # (A, P, d)
             logits = seq_def.apply(params["seq_lin"], hidden[:, -1, :])
-            first = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
-            valid = (abs_len[0] + 1).astype(jnp.int32)  # frames kept
-            budget = jnp.minimum(valid, cap_const)
-
-            layers, enc_bias = _merge_slot(state, slot, cache1, bias)
+            first = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (A,)
+            valid_frames = (abs_len + 1).astype(jnp.int32)  # frames kept
+            budget = jnp.minimum(valid_frames, cap_const)
             first_is_eos = first == eos_const
             gen0 = jnp.where(first_is_eos, 0, 1)
             done0 = first_is_eos | (gen0 >= budget)
 
-            def put(arr, val, dtype):
-                return jax.lax.dynamic_update_slice(
-                    arr, jnp.full((1,), val, dtype), (slot,))
+            # invalid rows scatter out of range; mode='drop' masks them
+            tgt = jnp.where(valid, slot_ids, R)
+
+            def scat(big, rows):
+                return big.at[tgt].set(rows.astype(big.dtype), mode="drop")
+
+            idx_rows = jnp.full((A, 1, 1, 1), _PROMPT_LEN, jnp.int32)
+            layers = []
+            for big, row in zip(state["layers"], cache_a["layers"]):
+                sb, sr = big["self"], row["self"]
+                merged = {
+                    "k": scat(sb["k"], sr["k"]),
+                    "v": scat(sb["v"], sr["v"]),
+                    "index": sb["index"].at[tgt].set(idx_rows, mode="drop"),
+                }
+                for nm in ("k_scale", "v_scale"):
+                    if nm in sb:
+                        merged[nm] = scat(sb[nm], sr[nm])
+                layer = {
+                    "self": merged,
+                    "cross_k": scat(big["cross_k"], row["cross_k"]),
+                    "cross_v": scat(big["cross_v"], row["cross_v"]),
+                }
+                for nm in ("cross_k_scale", "cross_v_scale"):
+                    if nm in big:
+                        layer[nm] = scat(big[nm], row[nm])
+                layers.append(layer)
+
+            def put(arr, vals, dtype):
+                return arr.at[tgt].set(vals.astype(dtype), mode="drop")
 
             return {
                 "layers": layers,
-                "enc_bias": enc_bias,
-                "pos": put(state["pos"], _PROMPT_LEN, jnp.int32),
+                "enc_bias": scat(state["enc_bias"], bias),
+                "pos": put(state["pos"],
+                           jnp.full((A,), _PROMPT_LEN, jnp.int32),
+                           jnp.int32),
                 "last": put(state["last"], first, jnp.int32),
                 "done": put(state["done"], done0, bool),
                 "gen": put(state["gen"], gen0, jnp.int32),
                 "budget": put(state["budget"], budget, jnp.int32),
             }, first, done0
 
-        self._admit = _admit
+        self._admit_batch = _admit_batch
 
         @partial(jax.jit, donate_argnums=(1,))
         def _step_chunk(params, state):
@@ -295,9 +320,12 @@ class ContinuousBatchingEngine:
         self._slots = [_Slot() for _ in range(R)]
         self._free = list(range(R))
         self._closing = threading.Event()
+        self._pause_req = threading.Event()
+        self._pause_ack = threading.Event()
         self._stats: Dict[str, float] = {
             "submitted": 0, "completed": 0, "chunks": 0, "admits": 0,
-            "tokens": 0, "active_slot_steps": 0, "slot_steps": 0,
+            "admit_calls": 0, "tokens": 0, "active_slot_steps": 0,
+            "slot_steps": 0,
         }
         self._lock = threading.Lock()
         self._worker = threading.Thread(
@@ -324,15 +352,32 @@ class ContinuousBatchingEngine:
         return snap
 
     def warmup(self) -> int:
-        """Compile the admit program for every audio bucket + the chunk
-        step, by running one silent utterance per bucket through the loop.
-        Returns the number of programs warmed."""
-        futs = [self.submit(np.zeros(int(b * self.engine.sample_rate),
-                                     np.float32), "transcribe")
-                for b in self.engine.buckets]
-        for f in futs:
-            f.result(timeout=600)
-        return len(futs) + 1  # admits + the shared chunk step
+        """Compile every (bucket × admit-rung) admission program and the
+        chunk step before traffic arrives. The worker is paused and each
+        program runs once with an all-invalid group (every scatter row
+        drops), so live state is untouched and no fake requests appear in
+        the counters. Returns the number of programs warmed."""
+        eng = self.engine
+        n = 0
+        with self._pause_worker():
+            for width in self._widths:
+                for rung in self._admit_rungs:
+                    wavs = jnp.zeros((rung, width), jnp.float32)
+                    lens = jnp.ones((rung,), jnp.float32)
+                    prompts = jnp.full((rung, _PROMPT_LEN), self.bos,
+                                       jnp.int32)
+                    slot_ids = jnp.zeros((rung,), jnp.int32)
+                    valid = jnp.zeros((rung,), bool)
+                    self._state, _, _ = self._admit_batch(
+                        eng.params, eng.cmvn, self._state, slot_ids,
+                        valid, wavs, lens, prompts)
+                    n += 1
+            # the chunk step: safe on an all-done pool (pos/gen gated on
+            # active; writes at stale indices are overwritten on admit)
+            self._state, _, _ = self._step_chunk(eng.params, self._state)
+            n += 1
+        return n
+
     def submit(self, wav: np.ndarray, task: str = "translate",
                source_lang: Optional[str] = None,
                target_lang: Optional[str] = None) -> Future:
@@ -392,33 +437,89 @@ class ContinuousBatchingEngine:
                     ) if total else 0.0
 
     # ------------------------------------------------------------- worker
-    def _prompt_ids(self, src: str, tgt: str) -> jnp.ndarray:
+    @contextlib.contextmanager
+    def _pause_worker(self):
+        """Hold the worker at its loop top so device state can be touched
+        from another thread (warmup)."""
+        self._pause_req.set()
+        try:
+            while (self._worker.is_alive()
+                   and not self._pause_ack.wait(timeout=0.1)):
+                pass
+            yield
+        finally:
+            self._pause_req.clear()
+
+    def _prompt_ids(self, src: str, tgt: str) -> List[int]:
         sp = self.engine.tokenizer
         src_id = sp.encode_as_ids(f"[{src}]")[-1]
         tgt_id = sp.encode_as_ids(f"[{tgt}]")[-1]
-        return jnp.asarray([self.bos, src_id, tgt_id], jnp.int32)
+        return [self.bos, src_id, tgt_id]
 
-    def _do_admit(self, s: int, req: _Request) -> None:
+    def _admit_many(self, reqs: List[_Request]) -> None:
+        """Admit queued requests into free slots: group by bucket width,
+        one device call per (bucket, rung) group."""
         eng = self.engine
-        width = eng._bucket_width(len(req.wav))
-        wav = np.zeros((1, width), np.float32)
-        wav[0, : len(req.wav)] = req.wav
-        lens = np.asarray([len(req.wav) / width], np.float32)
-        prompt = self._prompt_ids(req.source_lang, req.target_lang)
-        self._state, first, done0 = self._admit(
-            eng.params, eng.cmvn, self._state, jnp.asarray(s, jnp.int32),
-            jnp.asarray(wav), jnp.asarray(lens), prompt,
+        nfree = len(self._free)
+        if len(reqs) > nfree:  # e.g. the idle wake-up plus a full drain
+            for req in reqs[nfree:]:
+                self._queue.put(req)
+            reqs = reqs[:nfree]
+        groups: Dict[int, List[_Request]] = {}
+        for req in reqs:
+            groups.setdefault(eng._bucket_width(len(req.wav)),
+                              []).append(req)
+        for width, grp in groups.items():
+            while grp:
+                rung = next(r for r in self._admit_rungs
+                            if r >= min(len(grp), self._admit_rungs[-1]))
+                take, grp = grp[:rung], grp[rung:]
+                try:
+                    self._admit_group(width, rung, take)
+                except Exception as e:
+                    logger.exception("admit failed (width=%d rung=%d)",
+                                     width, rung)
+                    for req in take:
+                        req.future.set_exception(e)
+
+    def _admit_group(self, width: int, rung: int,
+                     take: List[_Request]) -> None:
+        eng = self.engine
+        n = len(take)
+        wavs = np.zeros((rung, width), np.float32)
+        lens = np.ones((rung,), np.float32)
+        prompts = np.full((rung, _PROMPT_LEN), self.bos, np.int32)
+        slot_ids = np.zeros((rung,), np.int32)
+        valid = np.zeros((rung,), bool)
+        assigned = []
+        for i, req in enumerate(take):
+            wavs[i, : len(req.wav)] = req.wav
+            lens[i] = len(req.wav) / width
+            prompts[i] = self._prompt_ids(req.source_lang, req.target_lang)
+            s = self._free.pop()
+            slot_ids[i] = s
+            valid[i] = True
+            assigned.append(s)
+        self._state, first, done0 = self._admit_batch(
+            eng.params, eng.cmvn, self._state, jnp.asarray(slot_ids),
+            jnp.asarray(valid), jnp.asarray(wavs), jnp.asarray(lens),
+            jnp.asarray(prompts),
         )
-        first = int(first)
-        slot = self._slots[s]
-        slot.req, slot.tokens, slot.active = req, [], True
-        slot.t_admit = time.monotonic()
-        if first != self.eos:
-            slot.tokens.append(first)
+        first = np.asarray(first)
+        done0 = np.asarray(done0)
+        now = time.monotonic()
         with self._lock:
-            self._stats["admits"] += 1
-        if bool(done0):
-            self._finish(s)
+            self._stats["admits"] += n
+            self._stats["admit_calls"] += 1
+        for i, (req, s) in enumerate(zip(take, assigned)):
+            slot = self._slots[s]
+            slot.req, slot.tokens, slot.active = req, [], True
+            slot.t_admit = now
+            tok = int(first[i])
+            if tok != self.eos:
+                slot.tokens.append(tok)
+            if bool(done0[i]):
+                self._finish(s)
 
     def _finish(self, s: int) -> None:
         slot = self._slots[s]
@@ -434,19 +535,44 @@ class ContinuousBatchingEngine:
         except Exception as e:  # tokenizer failure must not kill the loop
             req.future.set_exception(e)
 
+    def _drain_queue(self) -> List[_Request]:
+        """Pop up to len(free) queued requests without blocking."""
+        reqs: List[_Request] = []
+        while len(reqs) < len(self._free):
+            try:
+                reqs.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        return reqs
+
+    def _advance_chunk(self, active: List[int]) -> None:
+        self._state, emits, done = self._step_chunk(
+            self.engine.params, self._state)
+        emits = np.asarray(emits)
+        done = np.asarray(done)
+        with self._lock:
+            self._stats["chunks"] += 1
+            self._stats["slot_steps"] += self.slots * self.chunk
+            self._stats["active_slot_steps"] += len(active) * self.chunk
+        for s in active:
+            toks = emits[s]
+            self._slots[s].tokens.extend(
+                int(t) for t in toks[toks >= 0])
+            if done[s]:
+                self._finish(s)
+
     def _run(self) -> None:
         while True:
-            # refill free slots from the queue
-            while self._free:
-                try:
-                    req = self._queue.get_nowait()
-                except queue.Empty:
-                    break
-                try:
-                    self._do_admit(self._free.pop(), req)
-                except Exception as e:
-                    logger.exception("admit failed")
-                    req.future.set_exception(e)
+            if self._pause_req.is_set():
+                self._pause_ack.set()
+                while (self._pause_req.is_set()
+                       and not self._closing.is_set()):
+                    time.sleep(0.001)
+                self._pause_ack.clear()
+            # refill free slots from the queue (grouped batched admits)
+            reqs = self._drain_queue()
+            if reqs:
+                self._admit_many(reqs)
             active = [i for i, sl in enumerate(self._slots) if sl.active]
             if not active:
                 if self._closing.is_set():
@@ -455,25 +581,8 @@ class ContinuousBatchingEngine:
                     req = self._queue.get(timeout=0.05)
                 except queue.Empty:
                     continue
-                try:
-                    self._do_admit(self._free.pop(), req)
-                except Exception as e:
-                    logger.exception("admit failed")
-                    req.future.set_exception(e)
+                # merge the woken request with any burst right behind it
+                self._admit_many([req] + self._drain_queue())
                 continue
             # advance everyone by one chunk
-            self._state, emits, done = self._step_chunk(
-                self.engine.params, self._state)
-            emits = np.asarray(emits)
-            done = np.asarray(done)
-            with self._lock:
-                self._stats["chunks"] += 1
-                self._stats["slot_steps"] += self.slots * self.chunk
-                self._stats["active_slot_steps"] += (
-                    len(active) * self.chunk)
-            for s in active:
-                toks = emits[s]
-                self._slots[s].tokens.extend(
-                    int(t) for t in toks[toks >= 0])
-                if done[s]:
-                    self._finish(s)
+            self._advance_chunk(active)

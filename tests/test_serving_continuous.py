@@ -294,13 +294,44 @@ class TestContinuousLifecycle:
         finally:
             cont.close()
 
-    def test_warmup_compiles_every_bucket(self, parts):
+    def test_warmup_compiles_every_bucket_and_rung(self, parts, rng):
         engine = _build_engine(parts)
         cont = ContinuousBatchingEngine(engine, slots=2, chunk=4)
         try:
             n = cont.warmup()
-            assert n == len(engine.buckets) + 1
-            assert cont.stats()["completed"] == len(engine.buckets)
+            # (bucket x rung) admits + the chunk step; slots=2 clamps the
+            # default (1, 4, slots) ladder to (1, 2)
+            assert cont._admit_rungs == (1, 2)
+            assert n == len(engine.buckets) * 2 + 1
+            # warmup runs all-invalid groups: no fake traffic in counters
+            assert cont.stats()["completed"] == 0
+            assert cont.stats()["admits"] == 0
+            # live state is untouched: a real decode still works after
+            wav = _wav(rng, 0.4)
+            got = cont.submit(wav).result(timeout=300)
+            want = engine.tokenizer.decode_ids(
+                _oracle_tokens(engine, cont._S_max, wav, "es", "en"))
+            assert got == want
+        finally:
+            cont.close()
+
+    def test_burst_admits_in_groups(self, parts, rng):
+        """A queued burst admits through the rung ladder (fewer device
+        calls than requests) and every output is still oracle-exact."""
+        engine = _build_engine(parts)
+        cont = ContinuousBatchingEngine(engine, slots=4, chunk=4)
+        try:
+            cont.warmup()
+            wavs = [_wav(rng, 0.3 + 0.05 * i) for i in range(8)]
+            futs = [cont.submit(w) for w in wavs]
+            got = [f.result(timeout=300) for f in futs]
+            for g, w in zip(got, wavs):
+                want = engine.tokenizer.decode_ids(
+                    _oracle_tokens(engine, cont._S_max, w, "es", "en"))
+                assert g == want
+            stats = cont.stats()
+            assert stats["admits"] == 8
+            assert stats["admit_calls"] < 8  # grouping actually happened
         finally:
             cont.close()
 

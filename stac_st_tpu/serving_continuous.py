@@ -491,20 +491,27 @@ class ContinuousBatchingEngine:
         prompts = np.full((rung, _PROMPT_LEN), self.bos, np.int32)
         slot_ids = np.zeros((rung,), np.int32)
         valid = np.zeros((rung,), bool)
-        assigned = []
-        for i, req in enumerate(take):
-            wavs[i, : len(req.wav)] = req.wav
-            lens[i] = len(req.wav) / width
-            prompts[i] = self._prompt_ids(req.source_lang, req.target_lang)
-            s = self._free.pop()
-            slot_ids[i] = s
-            valid[i] = True
-            assigned.append(s)
-        self._state, first, done0 = self._admit_batch(
-            eng.params, eng.cmvn, self._state, jnp.asarray(slot_ids),
-            jnp.asarray(valid), jnp.asarray(wavs), jnp.asarray(lens),
-            jnp.asarray(prompts),
-        )
+        assigned: List[int] = []
+        try:
+            for i, req in enumerate(take):
+                wavs[i, : len(req.wav)] = req.wav
+                lens[i] = len(req.wav) / width
+                prompts[i] = self._prompt_ids(req.source_lang,
+                                              req.target_lang)
+                s = self._free.pop()
+                slot_ids[i] = s
+                valid[i] = True
+                assigned.append(s)
+            self._state, first, done0 = self._admit_batch(
+                eng.params, eng.cmvn, self._state, jnp.asarray(slot_ids),
+                jnp.asarray(valid), jnp.asarray(wavs), jnp.asarray(lens),
+                jnp.asarray(prompts),
+            )
+        except Exception:
+            # a failed group must not leak its slots: nothing was
+            # activated, so every popped slot returns to the free list
+            self._free.extend(assigned)
+            raise
         first = np.asarray(first)
         done0 = np.asarray(done0)
         now = time.monotonic()

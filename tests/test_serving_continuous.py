@@ -245,6 +245,38 @@ class TestContinuousLifecycle:
         for f in futs:
             assert isinstance(f.result(timeout=10), str)
 
+    def test_failed_admit_releases_slots(self, parts, rng):
+        """A request whose admission raises (here: prompt encoding
+        forced to fail) must fail ITS future only — the slots its group
+        had claimed return to the free list and later requests still
+        decode exactly."""
+        engine = _build_engine(parts)
+        cont = ContinuousBatchingEngine(engine, slots=2, chunk=2)
+        try:
+            orig = cont._prompt_ids
+
+            def bad_prompt(src, tgt):
+                if src == "boom":
+                    raise RuntimeError("boom")
+                return orig(src, tgt)
+
+            cont._prompt_ids = bad_prompt
+            bad = cont.submit(_wav(rng, 0.3), "translate",
+                              source_lang="boom")
+            with pytest.raises(RuntimeError, match="boom"):
+                bad.result(timeout=300)
+            # pool fully recovered: 2 concurrent good requests fit
+            wavs = [_wav(rng, 0.3), _wav(rng, 0.35)]
+            futs = [cont.submit(w) for w in wavs]
+            got = [f.result(timeout=300) for f in futs]
+            for g, w in zip(got, wavs):
+                want = engine.tokenizer.decode_ids(
+                    _oracle_tokens(engine, cont._S_max, w, "es", "en"))
+                assert g == want
+            assert len(cont._free) == 2
+        finally:
+            cont.close()
+
     def test_http_front_end(self, parts, rng):
         """The continuous engine drops into STHttpServer as the front end:
         decodes are exact over the wire, unsupported routes map to 400,

@@ -46,7 +46,9 @@ class TrainState(NamedTuple):
     params: Any            # {"CNN":…, "Transformer":…, "seq_lin":…, "ctc_lin":…}
     opt_state: Any
     cmvn: CmvnState
-    optimizer_step: jax.Array   # () int32 — applied optimizer updates
+    optimizer_step: jax.Array   # () int32 — optimizer attempts at should_step
+                                # boundaries (incl. nonfinite-skipped ones),
+                                # mirroring reference optimizer_step (:335)
     micro_step: jax.Array       # () int32 — fit_batch calls
 
 
@@ -90,11 +92,26 @@ def make_optimizer(
     max_grad_norm: Optional[float] = None,
     nonfinite_patience: int = 100,
 ) -> optax.GradientTransformation:
-    """Build the full optax chain mirroring reference fit_batch semantics."""
+    """Build the full optax chain mirroring reference fit_batch semantics.
 
-    def schedule(count):
-        # count = number of applied updates so far; step k runs at lr(k+1)
-        return schedule_value(count + 1)
+    The reference steps the scheduler AFTER ``optimizer.step()`` with the
+    already-incremented ``optimizer_step`` (``train_multitask.py:334-337``),
+    so attempt ``a`` (1-based, counting ``should_step`` boundaries) runs at
+    the lr the scheduler set after attempt ``a-1`` — i.e. ``value(a-1)`` —
+    and the very FIRST update runs at the optimizer's construction lr
+    (``transformer_multitask.yaml:223-224``), not at the warmup lr.
+    Skipped (nonfinite) attempts still advance ``optimizer_step`` and hence
+    the schedule, which is why the lr scaling lives OUTSIDE
+    ``apply_if_finite`` in its own ``scale_by_schedule`` (whose count
+    increments every attempt, applied or skipped), while the Adam moments
+    live inside (they must not ingest nonfinite grads).
+
+    The reference's overridden ``fit_batch`` replaced ``check_gradients``
+    (which clips to ``max_grad_norm``) with ``check_loss_isfinite``
+    (``train_multitask.py:331-332``) — so the reference recipe NEVER clips;
+    pass ``max_grad_norm=None`` (the trainer default) for parity, or a value
+    to opt in.
+    """
 
     from .optim import OptimizerFactory
 
@@ -103,15 +120,29 @@ def make_optimizer(
         # (reference binds them to module parameters — train_multitask.py:657)
         opt_factory = opt_factory()
 
+    first_lr = float(opt_factory.lr)
+
+    def schedule(count):
+        # count = attempts before this one; attempt 1 runs at the
+        # optimizer's construction lr, attempt a>=2 at value(a-1).
+        return jnp.where(
+            jnp.asarray(count) == 0,
+            jnp.asarray(first_lr, jnp.float32),
+            jnp.asarray(schedule_value(count), jnp.float32),
+        )
+
+    # unit-lr core: adamw(lr=1) emits -(m̂/(√v̂+eps) + wd·p); the outer
+    # scale_by_schedule multiplies by lr(count) — identical math to torch
+    # AdamW's p·(1-lr·wd) - lr·m̂/(√v̂+eps).
     if opt_factory.kind == "adamw":
         core = optax.adamw(
-            learning_rate=schedule, b1=opt_factory.betas[0],
+            learning_rate=1.0, b1=opt_factory.betas[0],
             b2=opt_factory.betas[1], eps=opt_factory.eps,
             weight_decay=opt_factory.weight_decay,
         )
     else:
         core = optax.adam(
-            learning_rate=schedule, b1=opt_factory.betas[0],
+            learning_rate=1.0, b1=opt_factory.betas[0],
             b2=opt_factory.betas[1], eps=opt_factory.eps,
         )
     chain = [optax.clip_by_global_norm(max_grad_norm)] if max_grad_norm else []
@@ -121,6 +152,7 @@ def make_optimizer(
     # XLA already fuses the leaf-wise update well. docs/PERF.md.)
     if nonfinite_patience:
         tx = optax.apply_if_finite(tx, max_consecutive_errors=nonfinite_patience)
+    tx = optax.chain(tx, optax.scale_by_schedule(schedule))
     if grad_accumulation_factor > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accumulation_factor)
     return tx
@@ -249,7 +281,13 @@ def make_train_step(cfg: StepConfig, tx: optax.GradientTransformation):
 
 
 def _count_applied(new_opt_state, old_opt_state) -> jax.Array:
-    """1 if the inner optimizer actually applied an update this call."""
+    """1 if the optimizer consumed an update attempt this call.
+
+    Mirrors the reference's ``optimizer_step`` (``train_multitask.py:335``):
+    incremented at every ``should_step`` boundary, INCLUDING nonfinite-skipped
+    ones — the schedule count (``scale_by_schedule``, outside
+    ``apply_if_finite``) has exactly that semantics.
+    """
     new_count = _find_count(new_opt_state)
     old_count = _find_count(old_opt_state)
     if new_count is None:
@@ -258,20 +296,51 @@ def _count_applied(new_opt_state, old_opt_state) -> jax.Array:
 
 
 def _find_count(opt_state):
-    """Locate the applied-update counter in the (possibly wrapped) state."""
+    """Locate the attempt counter in the (possibly wrapped) optax state.
+
+    Preference order: the lr ``ScaleByScheduleState`` (counts every attempt,
+    applied or skipped — reference ``optimizer_step`` semantics), then
+    ``MultiStepsState.gradient_step`` (same value at boundaries), then any
+    inner ``count`` as a fallback for custom chains.
+    """
+    by_schedule = _find_state_by_name(opt_state, "ScaleByScheduleState")
+    if by_schedule is not None:
+        return by_schedule.count
+    return _find_any_count(opt_state)
+
+
+def _find_state_by_name(opt_state, name):
+    if type(opt_state).__name__ == name:
+        return opt_state
     fields = getattr(opt_state, "_fields", None)
     if fields is not None:
-        if "gradient_step" in fields:  # MultiStepsState: applied updates
+        for f in ("inner_opt_state", "inner_state"):
+            if f in fields:
+                found = _find_state_by_name(getattr(opt_state, f), name)
+                if found is not None:
+                    return found
+    if isinstance(opt_state, (tuple, list)):
+        for element in opt_state:
+            found = _find_state_by_name(element, name)
+            if found is not None:
+                return found
+    return None
+
+
+def _find_any_count(opt_state):
+    fields = getattr(opt_state, "_fields", None)
+    if fields is not None:
+        if "gradient_step" in fields:  # MultiStepsState
             return opt_state.gradient_step
         if "count" in fields:  # ScaleBySchedule/Adam state
             return opt_state.count
         if "inner_opt_state" in fields:
-            return _find_count(opt_state.inner_opt_state)
+            return _find_any_count(opt_state.inner_opt_state)
         if "inner_state" in fields:  # ApplyIfFiniteState
-            return _find_count(opt_state.inner_state)
+            return _find_any_count(opt_state.inner_state)
     if isinstance(opt_state, (tuple, list)):
         for element in opt_state:
-            found = _find_count(element)
+            found = _find_any_count(element)
             if found is not None:
                 return found
     return None

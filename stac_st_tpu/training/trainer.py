@@ -110,6 +110,15 @@ class STTrainer:
             pipeline_spec.row_multiple if pipeline_spec is not None
             else self.mesh.shape["data"]
         )
+        # Coordinated preemption (multi-host): one flag element per device,
+        # sharded over the whole mesh; jitted sum = a psum all hosts read
+        # identically (see _preemption_stop).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        self._flag_sharding = NamedSharding(
+            self.mesh, PartitionSpec(tuple(self.mesh.axis_names))
+        )
+        self._flag_sum = jax.jit(jnp.sum)
 
         # precision: --precision run-opt (arguments.py: bf16 | fp32) wins;
         # otherwise the YAML's auto_mix_prec selects bf16 — the TPU-native
@@ -153,7 +162,15 @@ class STTrainer:
                 grad_accumulation_factor=int(
                     h.get("grad_accumulation_factor", 1)
                 ),
-                max_grad_norm=h.get("max_grad_norm"),
+                # The reference's overridden fit_batch swapped check_gradients
+                # (which clips to max_grad_norm) for check_loss_isfinite
+                # (train_multitask.py:331-332) — it NEVER clips despite
+                # yaml:71. Clipping is opt-in via use_grad_clipping for
+                # parity with the shipped recipe.
+                max_grad_norm=(
+                    h.get("max_grad_norm")
+                    if h.get("use_grad_clipping") else None
+                ),
                 nonfinite_patience=int(h.get("nonfinite_patience", 100)),
             )
             self.train_step = make_train_step(self.cfg, self.tx)
@@ -408,8 +425,64 @@ class STTrainer:
             if prev_handler is not None:
                 signal.signal(signal.SIGTERM, prev_handler)
 
+    def _save_preemption_checkpoint(self, epoch: int) -> None:
+        if self.checkpointer is not None and jax.process_index() == 0:
+            self.checkpointer.save_checkpoint(
+                meta={"preempted": True, "epoch": epoch},
+                trees=self._checkpoint_trees(epoch),
+            )
+        logger.warning(
+            "stopped by SIGTERM at epoch %d opt step %d "
+            "(checkpoint saved — resume restores exactly)",
+            epoch, int(self.state.optimizer_step),
+        )
+
+    def _dispatch_preempt_flag(self):
+        """Dispatch (async) the global sum of every host's preemption flag."""
+        flag = np.full(
+            (jax.local_device_count(),),
+            1.0 if self._preempted else 0.0, np.float32,
+        )
+        arr = jax.make_array_from_process_local_data(
+            self._flag_sharding, flag, (jax.device_count(),)
+        )
+        return self._flag_sum(arr)
+
+    def _preemption_stop(self, pending) -> bool:
+        """Coordinated stop decision.
+
+        Single-process: the host flag directly. Multi-process: every host
+        dispatches a tiny all-reduce of its local flag each step and reads
+        the reduction ONE STEP LATE (keeping dispatch pipelined) — all
+        hosts read the SAME reduced value at the same loop index, so they
+        agree on the exact stop step even when SIGTERM lands mid-step on
+        only some hosts. Without this, one host could leave the loop while
+        a peer is already blocked in the next step's gradient all-reduce —
+        a distributed deadlock. (The reference's single-host trap has no
+        such hazard; this is the multi-host-safe TPU-pod equivalent.)
+        """
+        if jax.process_count() == 1:
+            return self._preempted
+        pending.append(self._dispatch_preempt_flag())
+        if len(pending) >= 2:
+            return float(np.asarray(jax.device_get(pending.popleft()))) > 0.0
+        return False
+
+    def _drain_preempt_flags(self, pending) -> bool:
+        """End-of-epoch agreement on any still-in-flight flags."""
+        if jax.process_count() == 1:
+            return self._preempted
+        stop = False
+        while pending:
+            if float(np.asarray(jax.device_get(pending.popleft()))) > 0.0:
+                stop = True
+        return stop
+
     def _fit_epochs(self, epoch_counter, train_set, valid_set, timer,
                     ckpt_interval, last_timed_ckpt, progress_every) -> None:
+        from collections import deque
+
+        pending_flags: deque = deque()
         for epoch in epoch_counter:
             t_epoch = time.time()
             train_set.set_epoch(epoch)
@@ -429,18 +502,8 @@ class STTrainer:
                 )
                 losses.append(metrics["loss"])
                 timer.tick(items=float(np.sum(batch.duration)))
-                if self._preempted:
-                    if (self.checkpointer is not None
-                            and jax.process_index() == 0):
-                        self.checkpointer.save_checkpoint(
-                            meta={"preempted": True, "epoch": epoch},
-                            trees=self._checkpoint_trees(epoch),
-                        )
-                    logger.warning(
-                        "stopped by SIGTERM at epoch %d opt step %d "
-                        "(checkpoint saved — resume restores exactly)",
-                        epoch, int(self.state.optimizer_step),
-                    )
+                if self._preemption_stop(pending_flags):
+                    self._save_preemption_checkpoint(epoch)
                     return
                 if progress_every and (i + 1) % progress_every == 0:
                     stats = timer.stats()
@@ -466,6 +529,9 @@ class STTrainer:
                     )
                     self._cleanup_timed_checkpoints()
                     last_timed_ckpt = time.time()
+            if self._drain_preempt_flags(pending_flags):
+                self._save_preemption_checkpoint(epoch)
+                return
             if not losses:
                 logger.warning("epoch %d: empty train loader", epoch)
                 continue
@@ -475,6 +541,7 @@ class STTrainer:
             stage_stats = {"loss": train_loss}
             if valid_set is not None:
                 stage_stats = self._validate(valid_set, epoch)
+            self.last_valid_stats = stage_stats
 
             self._on_valid_end(epoch, stage_stats, time.time() - t_epoch)
             if int(self.state.optimizer_step) >= self.optimizer_step_limit:
@@ -630,9 +697,12 @@ class STTrainer:
                       epoch_time: float) -> None:
         h = self.hparams
         scheduler = h.get("lr_scheduler")
+        # lr the NEXT attempt will run at (reference stepping: attempt a
+        # runs at value(a-1), the first at the optimizer construction lr)
+        step = int(self.state.optimizer_step)
         lr = (
-            float(scheduler.value(int(self.state.optimizer_step) + 1))
-            if scheduler is not None else float(h.get("lr_adam", 0.0))
+            float(scheduler.value(step)) if scheduler is not None and step >= 1
+            else float(h.get("lr_adam", 0.0))
         )
         if jax.process_index() == 0:
             if "train_logger" in h:

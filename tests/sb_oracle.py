@@ -492,3 +492,147 @@ class SBBeamSearcher:
             predictions.append(hyp)
             top_scores.append(final[best])
         return predictions, top_scores
+
+
+# --------------------------------------------------------------------------
+# training-side mirror (reference fit_batch semantics)
+# --------------------------------------------------------------------------
+def _round_mask(length, max_len):
+    """Round-based length mask (reference ``TransformerMultiTask.py:225``)."""
+    abs_len = torch.round(torch.as_tensor(length) * max_len)
+    return (torch.arange(max_len)[None, :] < abs_len[:, None]).float()
+
+
+def sb_nll_loss(log_probs, targets, length=None, label_smoothing=0.0,
+                reduction="batchmean"):
+    """SpeechBrain ``nnet.losses.nll_loss`` in torch (yaml:260-262):
+    masked per-token NLL + label smoothing ``ls*reg + (1-ls)*nll`` where the
+    reg term is token-normalized even under batchmean (preserved quirk)."""
+    B, T, _ = log_probs.shape
+    targets = targets[:, :T].long()
+    mask = (
+        _round_mask(length, T) if length is not None
+        else torch.ones(B, T)
+    )
+    picked = log_probs.gather(-1, targets.unsqueeze(-1)).squeeze(-1)
+    per_token = -picked * mask
+    if reduction == "mean":
+        nll = per_token.sum() / mask.sum()
+    elif reduction == "batchmean":
+        nll = per_token.sum() / B
+    else:
+        raise ValueError(reduction)
+    if label_smoothing > 0.0:
+        reg = -(log_probs.mean(-1) * mask).sum() / mask.sum()
+        return label_smoothing * reg + (1.0 - label_smoothing) * nll
+    return nll
+
+
+def sb_ctc_loss(log_probs, targets, input_lens, target_lens, blank_index=0,
+                reduction="batchmean"):
+    """SpeechBrain ``nnet.losses.ctc_loss`` (yaml:256-258): relative lens
+    rounded to absolute, ``F.ctc_loss`` sum / batch for batchmean."""
+    B, T, _ = log_probs.shape
+    U = targets.shape[1]
+    abs_in = torch.round(torch.as_tensor(input_lens) * T).long()
+    abs_tgt = torch.round(torch.as_tensor(target_lens) * U).long()
+    loss = F.ctc_loss(
+        log_probs.transpose(0, 1), targets.long(), abs_in, abs_tgt,
+        blank=blank_index, reduction="sum", zero_infinity=True,
+    )
+    if reduction == "batchmean":
+        return loss / B
+    raise ValueError(reduction)
+
+
+def warm_cool_decay_lr(step, lr, warmup, cooldown, total_steps,
+                       decay_factor=0.75, decay_every=100000.0):
+    """SB ``WarmCoolDecayLRSchedule`` value at optimizer step ``step``
+    (yaml:264-269): linear warmup -> exp decay -> linear cooldown to 0."""
+    step = float(step)
+    if step < warmup:
+        return lr * step / warmup
+    cool_start = total_steps - cooldown
+    if step < cool_start:
+        return lr * decay_factor ** (step / decay_every)
+    lr_at_cool = lr * decay_factor ** (cool_start / decay_every)
+    return lr_at_cool * max(total_steps - step, 0.0) / cooldown
+
+
+class TorchTrainMirror:
+    """Reference training loop mirror (``train_multitask.py:316-368``,
+    non-AMP branch, no augmentation, fixed normalization stats):
+
+    forward (train semantics: round masks, teacher forcing) ->
+    ``0.3*CTC + 0.7*NLL(ls=0.1)`` batchmean -> ``(loss/accum).backward()``;
+    at ``should_step`` (``step % accum == 0``): ``check_loss_isfinite`` (NO
+    gradient clipping — the reference commented out ``check_gradients``,
+    :331-332), ``optimizer.step()`` at the CURRENT param-group lr,
+    ``zero_grad``, ``optimizer_step += 1``, then the scheduler sets the lr
+    for the NEXT attempt from the incremented count (:334-337). The very
+    first update therefore runs at the AdamW construction lr (yaml:223-224).
+    """
+
+    def __init__(self, model, mean, std, *, n_mels, lr=5e-4,
+                 grad_accumulation_factor=1, ctc_weight=0.3,
+                 label_smoothing=0.1, pad_index=0, blank_index=0,
+                 schedule_kwargs=None):
+        self.model = model.train()
+        self.cnn, self.tfm, self.seq_lin, self.ctc_lin = model
+        self.mean, self.std = mean, std
+        self.n_mels = n_mels
+        self.opt = torch.optim.AdamW(model.parameters(), lr=lr)
+        self.lr = lr
+        self.schedule_kwargs = schedule_kwargs
+        self.accum = grad_accumulation_factor
+        self.ctc_weight = ctc_weight
+        self.label_smoothing = label_smoothing
+        self.pad_index = pad_index
+        self.blank_index = blank_index
+        self.step = 0
+        self.optimizer_step = 0
+
+    def compute_loss(self, batch):
+        wavs = torch.as_tensor(np.asarray(batch["sig"]), dtype=torch.float32)
+        wav_lens = torch.as_tensor(np.asarray(batch["sig_len"]),
+                                   dtype=torch.float32)
+        tokens_bos = torch.as_tensor(np.asarray(batch["tokens_bos"])).long()
+        feats = torch_fbank(wavs, n_mels=self.n_mels)
+        feats = torch_normalize(feats, self.mean, self.std)
+        src = self.cnn(feats)
+        enc, dec = self.tfm(src, tokens_bos, wav_lens,
+                            pad_idx=self.pad_index)
+        p_ctc = F.log_softmax(self.ctc_lin(enc), dim=-1)
+        p_seq = F.log_softmax(self.seq_lin(dec), dim=-1)
+        att = sb_nll_loss(
+            p_seq, torch.as_tensor(np.asarray(batch["tokens_eos"])).long(),
+            torch.as_tensor(np.asarray(batch["tokens_eos_len"])),
+            label_smoothing=self.label_smoothing, reduction="batchmean",
+        )
+        ctc = sb_ctc_loss(
+            p_ctc, torch.as_tensor(np.asarray(batch["tokens"])).long(),
+            wav_lens, torch.as_tensor(np.asarray(batch["tokens_len"])),
+            blank_index=self.blank_index, reduction="batchmean",
+        )
+        return self.ctc_weight * ctc + (1.0 - self.ctc_weight) * att
+
+    def current_lr(self):
+        return float(self.opt.param_groups[0]["lr"])
+
+    def fit_batch(self, batch):
+        self.step += 1
+        should_step = self.step % self.accum == 0
+        loss = self.compute_loss(batch)
+        (loss / self.accum).backward()
+        if should_step:
+            if torch.isfinite(loss):
+                self.opt.step()
+            self.opt.zero_grad()
+            self.optimizer_step += 1
+            if self.schedule_kwargs is not None:
+                new_lr = warm_cool_decay_lr(
+                    self.optimizer_step, self.lr, **self.schedule_kwargs
+                )
+                for pg in self.opt.param_groups:
+                    pg["lr"] = new_lr
+        return float(loss.detach())

@@ -172,14 +172,34 @@ def main():
         except Exception as exc:  # report the headline even if phase 2 dies
             trained = {"trained_error": f"{type(exc).__name__}: {exc}"}
 
-    print(json.dumps({
+    result = {
         "metric": "st_inference_rtfx_beam10_b16_10s",
         "value": round(rtfx, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtfx / 20.0, 3),
         "rtfx_device_throughput": round(rtfx_device, 2),
         **trained,
-    }))
+    }
+    # Regression floors (VERDICT r3 item 9): ~5% under the round-3 measured
+    # numbers (464.3 / 515.1 / 7713.8). A change that trades these away
+    # fails the bench loudly instead of silently redefining the headline.
+    # STAC_BENCH_NOFLOOR=1 disables (e.g. for experiments on other shapes).
+    floors = {
+        "value": 440.0,
+        "rtfx_device_throughput": 480.0,
+        "trained_rtfx_device_throughput": 7000.0,
+    }
+    if os.environ.get("STAC_BENCH_NOFLOOR") != "1":
+        broken = [
+            f"{k} {result[k]} < floor {v}"
+            for k, v in floors.items()
+            if k in result and result[k] < v
+        ]
+        if broken:
+            result["regression"] = broken
+    print(json.dumps(result))
+    if result.get("regression"):
+        sys.exit(1)
 
 
 def _scanned_rtfx(searcher, fbank, cnn, transformer, cnn_params, tr_params,

@@ -109,3 +109,88 @@ class TestMwerRealign:
         hyp = ["b"]
         spans = mwer_segment(refs, hyp)
         assert sum(len(s) for s in spans) == 1
+
+
+class TestMwerSegmenterEquivalence:
+    """Hand-built fixtures pinning ``mwer_segment`` to mwerSegmenter's
+    DOCUMENTED behavior (RWTH tool of Matusov et al. 2005, shelled out by
+    the reference at ``run_align_and_eval.sh:57-70``): resegment the
+    hypothesis word stream into exactly ``len(references)`` consecutive
+    spans minimizing the SUM of per-segment word edit distances. A brute
+    force over every split-point placement is the oracle."""
+
+    @staticmethod
+    def _levenshtein(a, b):
+        import numpy as np
+
+        col = np.arange(len(a) + 1)
+        for k, w in enumerate(b, start=1):
+            prev = col.copy()
+            col[0] = k
+            for i in range(1, len(a) + 1):
+                col[i] = min(prev[i] + 1, col[i - 1] + 1,
+                             prev[i - 1] + (a[i - 1] != w))
+        return int(col[len(a)])
+
+    @classmethod
+    def _brute_min_cost(cls, refs, hyp):
+        import itertools
+
+        R, H = len(refs), len(hyp)
+        best = None
+        for cuts in itertools.combinations_with_replacement(
+                range(H + 1), R - 1):
+            bounds = (0,) + cuts + (H,)
+            cost = sum(
+                cls._levenshtein(refs[i], hyp[bounds[i]:bounds[i + 1]])
+                for i in range(R)
+            )
+            best = cost if best is None else min(best, cost)
+        return best
+
+    @classmethod
+    def _cost_of(cls, refs, spans):
+        return sum(cls._levenshtein(r, s) for r, s in zip(refs, spans))
+
+    def test_optimal_on_random_fixtures(self, rng):
+        words = ["uno", "dos", "tres", "cuatro", "cinco", "seis"]
+        for trial in range(25):
+            R = int(rng.integers(1, 5))
+            refs = [
+                [words[int(w)] for w in rng.integers(0, 6, rng.integers(1, 5))]
+                for _ in range(R)
+            ]
+            H = int(rng.integers(0, 12))
+            hyp = [words[int(w)] for w in rng.integers(0, 6, H)]
+            spans = mwer_segment(refs, hyp)
+            assert len(spans) == R
+            assert [w for s in spans for w in s] == hyp  # partition
+            got = self._cost_of(refs, spans)
+            want = self._brute_min_cost(refs, hyp)
+            assert got == want, (refs, hyp, spans, got, want)
+
+    def test_boundary_insertion_attribution(self):
+        # an extra word between segments must be attributed where it is
+        # cheapest: 'oh' before 'b c' costs 1 insertion either way, but
+        # attached to ref2 ['oh','b','c'] it is a free match
+        refs = [["a"], ["oh", "b", "c"]]
+        hyp = ["a", "oh", "b", "c"]
+        spans = mwer_segment(refs, hyp)
+        assert spans == [["a"], ["oh", "b", "c"]]
+
+    def test_surplus_and_deficit(self):
+        refs = [["x", "y"], ["z"]]
+        # deficit: too few hyp words — the cheap segment goes empty
+        assert mwer_segment(refs, ["z"]) == [[], ["z"]]
+        # surplus: extras stay with whichever segment minimizes cost
+        spans = mwer_segment(refs, ["x", "y", "q", "z", "w"])
+        assert self._cost_of(refs, spans) == self._brute_min_cost(
+            refs, ["x", "y", "q", "z", "w"])
+
+    def test_case_sensitive_like_mwersegmenter(self):
+        # mwerSegmenter matches case-sensitively by default (the reference
+        # pipeline lowercases upstream, run_align_and_eval.sh)
+        refs = [["Hola"], ["hola"]]
+        spans = mwer_segment(refs, ["hola"])
+        # matching the second segment is free; first must go empty
+        assert spans == [[], ["hola"]]

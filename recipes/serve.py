@@ -152,11 +152,6 @@ def start_servers(args):
         kv_cache_dtype=args.kv_cache_dtype,
         weights_int8=args.weights_int8,
     )
-    if getattr(args, "continuous", False) and args.data_parallel not in (0, 1):
-        raise SystemExit(
-            "--continuous and --data-parallel are mutually exclusive: the "
-            "continuous slot loop is a single-device program (run one "
-            "process per chip and load-balance in front instead)")
     if args.data_parallel not in (0, 1):
         import jax
         import numpy as np
@@ -194,8 +189,18 @@ def start_servers(args):
         rungs = (tuple(int(s) for s in args.admit_rungs.split(",")
                        if s.strip())
                  if args.admit_rungs else None)
+        slots = args.slots
+        if engine.mesh is not None:
+            # slot pool is sharded on the data axis — round the pool up
+            # so every device owns the same number of slots
+            d = int(engine.mesh.shape["data"])
+            if slots % d:
+                slots = ((slots + d - 1) // d) * d
+                logger.info("rounding --slots %d up to %d (%d per device "
+                            "over the %d-way data mesh)",
+                            args.slots, slots, slots // d, d)
         front = ContinuousBatchingEngine(
-            engine, slots=args.slots, chunk=args.chunk,
+            engine, slots=slots, chunk=args.chunk,
             max_new_tokens=args.max_decode_tokens, admit_rungs=rungs,
         )
         if not getattr(args, "no_warmup", False):

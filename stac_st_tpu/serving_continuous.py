@@ -34,6 +34,12 @@ TPU-native design — the device never sees the raggedness:
   mix of ASR/ST and language pairs simultaneously.
 * State buffers are donated back to each program (``donate_argnums``), so
   the persistent caches never copy.
+* MESH composition: given an :class:`STEngine` built over a ``data`` mesh,
+  the slot pool is sharded on its row axis (R/d slots' KV cache per
+  device) and params stay replicated. The chunk step is row-independent,
+  so GSPMD partitions it collective-free — per-device work drops to R/d
+  rows while the host loop stays a single program. Admission scatters
+  replicated rows onto whichever shard owns the target slot.
 
 Decoding is GREEDY (beam 1): one hypothesis per slot is what makes slot
 swapping exact and cheap. That is a quality trade vs the batch engine's
@@ -54,7 +60,6 @@ import threading
 import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -130,6 +135,14 @@ class ContinuousBatchingEngine:
         if slots < 1 or chunk < 1:
             raise ValueError("slots and chunk must be >= 1")
         self.engine = engine
+        self.mesh = getattr(engine, "mesh", None)
+        if self.mesh is not None:
+            d = int(self.mesh.shape["data"])
+            if int(slots) % d:
+                raise ValueError(
+                    f"slots={slots} must be a multiple of the mesh's "
+                    f"data-axis size {d}: the slot pool is sharded on its "
+                    f"row axis across the mesh")
         self.slots = int(slots)
         self.chunk = int(chunk)
         self.eos = int(engine.searcher.config.eos_index)
@@ -190,9 +203,25 @@ class ContinuousBatchingEngine:
                 "budget": jnp.zeros((R,), jnp.int32),
             }
 
-        self._state = jax.jit(_init_state)(engine.params)
+        # Mesh composition (data parallel × continuous): the slot pool is
+        # SHARDED on its row axis over the mesh's ``data`` axis — each
+        # device owns R/d slots' KV cache and advances them locally (the
+        # chunk step is row-independent, so XLA partitions it with zero
+        # collectives; only the tiny emitted-token gather crosses the
+        # mesh). Params/CMVN stay replicated (STEngine already placed
+        # them), and admission groups are replicated rows whose scatter
+        # lands on whichever shard owns the target slot.
+        if self.mesh is None:
+            shard_R = repl = None
+            self._state = jax.jit(_init_state)(engine.params)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
 
-        @partial(jax.jit, donate_argnums=(2,))
+            shard_R = NamedSharding(self.mesh, PartitionSpec("data"))
+            repl = NamedSharding(self.mesh, PartitionSpec())
+            self._state = jax.jit(
+                _init_state, out_shardings=shard_R)(engine.params)
+
         def _admit_batch(params, cmvn, state, slot_ids, valid, wavs, lens,
                          prompts):
             """Encode + prompt-prime a GROUP of utterances into slots.
@@ -273,9 +302,16 @@ class ContinuousBatchingEngine:
                 "budget": put(state["budget"], budget, jnp.int32),
             }, first, done0
 
-        self._admit_batch = _admit_batch
+        if self.mesh is None:
+            self._admit_batch = jax.jit(_admit_batch, donate_argnums=(2,))
+        else:
+            self._admit_batch = jax.jit(
+                _admit_batch, donate_argnums=(2,),
+                in_shardings=(repl, repl, shard_R, repl, repl, repl, repl,
+                              repl),
+                out_shardings=(shard_R, repl, repl),
+            )
 
-        @partial(jax.jit, donate_argnums=(1,))
         def _step_chunk(params, state):
             """Advance every slot ``chunk`` greedy steps in one dispatch.
 
@@ -313,7 +349,14 @@ class ContinuousBatchingEngine:
                                         length=self.chunk)
             return state, jnp.swapaxes(emits, 0, 1), state["done"]
 
-        self._step_chunk = _step_chunk
+        if self.mesh is None:
+            self._step_chunk = jax.jit(_step_chunk, donate_argnums=(1,))
+        else:
+            self._step_chunk = jax.jit(
+                _step_chunk, donate_argnums=(1,),
+                in_shardings=(repl, shard_R),
+                out_shardings=(shard_R, repl, repl),
+            )
 
         # ------------------------------------------------- host-side loop
         self._queue: "queue.Queue[_Request]" = queue.Queue(queue_capacity)

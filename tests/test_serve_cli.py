@@ -147,11 +147,15 @@ class TestServeCli:
                 s.close()
             front.close()
 
-    def test_continuous_rejects_data_parallel(self):
+    def test_continuous_composes_with_data_parallel(self):
+        """--continuous + --data-parallel is a supported combination
+        (the slot pool shards over the data mesh); argument validation
+        passes and the failure is the missing experiment dir, not a
+        rejection."""
         from recipes.serve import build_parser, start_servers
 
         args = build_parser().parse_args(
-            ["exp", "--continuous", "--data-parallel", "2",
+            ["exp-does-not-exist", "--continuous", "--data-parallel", "2",
              "--compile-cache", "off"])
-        with pytest.raises(SystemExit):
+        with pytest.raises(FileNotFoundError):
             start_servers(args)

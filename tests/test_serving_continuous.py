@@ -377,3 +377,73 @@ class TestContinuousLifecycle:
                 ContinuousBatchingEngine(engine)
         finally:
             pallas_mod.disable()
+
+
+class TestMeshedContinuous:
+    """Continuous batching × data mesh (VERDICT r3 item 3): the slot pool
+    shards over the mesh's ``data`` axis, params replicate, and every
+    utterance still decodes to EXACTLY the model's greedy tokens."""
+
+    @staticmethod
+    def _mesh(n):
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < n:
+            pytest.skip(f"need {n} devices, have {len(devs)}")
+        return Mesh(np.asarray(devs[:n]), ("data",))
+
+    def test_slots_must_divide_mesh(self, parts):
+        mesh = self._mesh(4)
+        engine = _build_engine(parts, mesh=mesh)
+        with pytest.raises(ValueError, match="multiple of the mesh"):
+            ContinuousBatchingEngine(engine, slots=3)
+
+    def test_meshed_mixed_concurrent_matches_oracles(self, parts, rng):
+        """8 slots over a 4-device data mesh (2 slots/device), 9 mixed
+        requests with slot reuse and ragged depths — token-exact vs the
+        sequential (unmeshed) greedy oracle, and the state actually lives
+        sharded across the mesh."""
+        mesh = self._mesh(4)
+        engine = _build_engine(parts, mesh=mesh)
+        cont = ContinuousBatchingEngine(engine, slots=8, chunk=3)
+        try:
+            # the persistent KV cache really is sharded on the slot axis
+            k0 = cont._state["layers"][0]["self"]["k"]
+            assert len(k0.sharding.device_set) == 4, k0.sharding
+            assert not cont._state["pos"].sharding.is_fully_replicated
+
+            specs = [
+                (0.2, "translate"), (0.8, "transcribe"), (0.45, "translate"),
+                (0.9, "translate"), (0.3, "transcribe"), (0.7, "translate"),
+                (0.5, "transcribe"), (0.25, "translate"), (0.85, "translate"),
+            ]
+            wavs = [_wav(rng, s) for s, _ in specs]
+            futs = [cont.submit(w, task) for w, (_, task) in
+                    zip(wavs, specs)]
+            got = [f.result(timeout=300) for f in futs]
+            # oracle on a mesh-free engine: same params, same math
+            plain = _build_engine(parts)
+            for g, w, (_, task) in zip(got, wavs, specs):
+                tgt = "en" if task == "translate" else "es"
+                want = plain.tokenizer.decode_ids(
+                    _oracle_tokens(plain, cont._S_max, w, "es", tgt))
+                assert g == want
+            assert cont.stats()["completed"] == len(specs)
+        finally:
+            cont.close()
+
+    def test_meshed_warmup_and_budget(self, parts, rng):
+        mesh = self._mesh(2)
+        engine = _build_engine(parts, mesh=mesh)
+        cont = ContinuousBatchingEngine(engine, slots=4, chunk=4)
+        try:
+            assert cont.warmup() > 0
+            wav = _wav(rng, 0.4)
+            got = cont.submit(wav, "translate").result(timeout=300)
+            plain = _build_engine(parts)
+            want = plain.tokenizer.decode_ids(
+                _oracle_tokens(plain, cont._S_max, wav, "es", "en"))
+            assert got == want
+        finally:
+            cont.close()

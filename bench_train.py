@@ -91,11 +91,16 @@ def _build(preset, batch_rows):
             else jnp.bfloat16
         ),
     )
+    # STAC_TRAIN_ACCUM=N: gradient accumulation through the production
+    # optax.MultiSteps chain (reference effective batch = 4000 audio-s
+    # via accumulation 8, run_default.sh grad_accumulation_factor).
+    # Each measured step is then ONE microbatch; every Nth applies.
     tx = make_optimizer(
         AdamW(lr=1e-3),
         WarmCoolDecayLRSchedule(1e-3, 1000, 1000, 100000,
                                 decay_every=10000).value,
-        grad_accumulation_factor=1,
+        grad_accumulation_factor=int(
+            os.environ.get("STAC_TRAIN_ACCUM", "1")),
         max_grad_norm=5.0,
     )
     rng = np.random.default_rng(0)
@@ -120,6 +125,17 @@ def _build(preset, batch_rows):
     return cfg, tx, batch, state
 
 
+def _key(seed):
+    """STAC_TRAIN_TYPED_RBG=1: typed rbg key (impl travels WITH the key,
+    no process-global jax_default_prng_impl mutation) — the scoped
+    alternative to the config flip, A/B-able against it."""
+    import jax
+
+    if os.environ.get("STAC_TRAIN_TYPED_RBG") == "1":
+        return jax.random.key(seed, impl="rbg")
+    return jax.random.PRNGKey(seed)
+
+
 def _measure(preset, batch_rows, n_steps=10):
     """Returns (step_ms, audio_s_per_s, mfu_pct, flops_per_step)."""
     import jax
@@ -128,6 +144,13 @@ def _measure(preset, batch_rows, n_steps=10):
     from stac_st_tpu.training.step import _forward, _objectives
 
     cfg, tx, batch, state = _build(preset, batch_rows)
+
+    # time whole accumulation cycles so every Nth step's apply cost is
+    # averaged in exactly once per cycle
+    accum = int(os.environ.get("STAC_TRAIN_ACCUM", "1"))
+    if accum > 1:
+        n_steps = max(n_steps, 2 * accum)
+        n_steps -= n_steps % accum
 
     fwd_only = os.environ.get("STAC_TRAIN_FWDONLY") == "1"
 
@@ -168,7 +191,7 @@ def _measure(preset, batch_rows, n_steps=10):
     # (verified: identical flops at length 1 and 10), so the per-step
     # count is the scan program's count as-is — do not divide by n_steps.
     compiled = multi_step.lower(
-        state, batch, jax.random.PRNGKey(1)).compile()
+        state, batch, _key(1)).compile()
     flops_per_step = None
     try:
         ca = compiled.cost_analysis()
@@ -179,10 +202,10 @@ def _measure(preset, batch_rows, n_steps=10):
     except Exception:
         pass
 
-    state, losses = compiled(state, batch, jax.random.PRNGKey(1))
+    state, losses = compiled(state, batch, _key(1))
     float(losses[-1])  # force
     t0 = time.perf_counter()
-    state, losses = compiled(state, batch, jax.random.PRNGKey(2))
+    state, losses = compiled(state, batch, _key(2))
     float(losses[-1])
     dt = (time.perf_counter() - t0) / n_steps
 

@@ -28,7 +28,7 @@ RUN_OPT_DEFAULTS: Dict[str, Any] = {
     "find_unused_parameters": False,    # accepted/ignored (DDP-era flag)
     "jit_compile": True,
     "precision": "bf16",                # bf16 | fp32
-    "rng_impl": "rbg",                  # rbg | unsafe_rbg | threefry
+    "rng_impl": "rbg",                  # rbg | unsafe_rbg | threefry | *_scoped
     "train_attn_kernel": "auto",        # auto | on | off (flash train attn)
     "pipeline_stages": 0,               # >0 => pipeline-parallel encoder
     "compile_cache_dir": "",            # non-empty => persistent XLA cache

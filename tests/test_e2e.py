@@ -594,3 +594,39 @@ class TestShardedLoader:
         assert not same  # epoch changes the draw...
         for a, b in zip(e0, e0b):  # ...same epoch is reproducible
             np.testing.assert_array_equal(a.sig.data, b.sig.data)
+
+
+class TestScopedRngImpl:
+    def test_rbg_scoped_leaves_global_impl_untouched(
+        self, corpus, tmp_path_factory
+    ):
+        """run_opt rng_impl=rbg_scoped threads a TYPED rbg key through the
+        trainer (impl travels with the key) instead of mutating the
+        process-global jax_default_prng_impl (VERDICT r3 weak #4; the
+        global flip stays the default for its measured −7.5% step cost —
+        docs/PERF.md round 4)."""
+        tmp_path = tmp_path_factory.mktemp("exp_scoped_rng")
+        prev_impl = jax.config.jax_default_prng_impl
+        hparams, modules = tiny_hparams(corpus, tmp_path)
+        trainer = STTrainer(
+            modules=modules, opt_class=hparams["Adam"], hparams=hparams,
+            run_opts={"data_parallel_count": -1, "rng_impl": "rbg_scoped"},
+        )
+        assert jax.config.jax_default_prng_impl == prev_impl
+        # typed key: extended PRNG key dtype, not a raw uint32 vector
+        assert jnp.issubdtype(trainer._rng.dtype, jax.dtypes.prng_key)
+
+        dataset = SpeechDataset(
+            corpus["st"], tokenizer=corpus["sp"],
+            replacements={"data_root": corpus["root"]},
+        )
+        loader = BatchLoader(dataset, batch_size=4, token_pad_multiple=16)
+        batch = next(iter(loader))
+        dev = trainer._device_batch(batch)
+        trainer.ensure_state(dev)
+        key = jax.random.split(trainer._rng)[0]
+        trainer.state, metrics = trainer.train_step(
+            trainer.state, dev, key, update_cmvn=True
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        assert jax.config.jax_default_prng_impl == prev_impl

@@ -180,15 +180,22 @@ def main():
         "rtfx_device_throughput": round(rtfx_device, 2),
         **trained,
     }
-    # Regression floors (VERDICT r3 item 9): ~5% under the round-3 measured
-    # numbers (464.3 / 515.1 / 7713.8). A change that trades these away
-    # fails the bench loudly instead of silently redefining the headline.
-    # STAC_BENCH_NOFLOOR=1 disables (e.g. for experiments on other shapes).
+    # Regression floors, RATCHETED (VERDICT r4 item 4): each floored key's
+    # floor is 95% of the best value any previous round measured
+    # (committed BENCH_r*.json history), so two quiet rounds of -3% drift
+    # can no longer pass a fixed floor while giving back the gains. Every
+    # reported throughput identity is floored, including the
+    # dispatch-inclusive trained cap192 number that drifted unfloored in
+    # r4. Static minimums below are the r3 floors (history files may be
+    # absent in a fresh checkout). STAC_BENCH_NOFLOOR=1 disables.
     floors = {
         "value": 440.0,
         "rtfx_device_throughput": 480.0,
         "trained_rtfx_device_throughput": 7000.0,
+        "trained_rtfx_cap192": 0.0,   # ratchet-only (see docs/PERF.md r5)
     }
+    for key, best in _best_prior(floors).items():
+        floors[key] = max(floors[key], round(0.95 * best, 2))
     if os.environ.get("STAC_BENCH_NOFLOOR") != "1":
         broken = [
             f"{k} {result[k]} < floor {v}"
@@ -200,6 +207,32 @@ def main():
     print(json.dumps(result))
     if result.get("regression"):
         sys.exit(1)
+
+
+def _best_prior(keys):
+    """Best per-key value across committed BENCH_r*.json round history."""
+    import glob
+    import os.path
+
+    best = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                text = f.read()
+            # driver files wrap the bench line in a {"parsed": {...}} blob
+            blob = json.loads(text)
+            rows = [blob.get("parsed", blob)]
+        except Exception:
+            continue
+        for row in rows:
+            if not isinstance(row, dict):
+                continue
+            for k in keys:
+                v = row.get(k)
+                if isinstance(v, (int, float)):
+                    best[k] = max(best.get(k, float("-inf")), float(v))
+    return best
 
 
 def _scanned_rtfx(searcher, fbank, cnn, transformer, cnn_params, tr_params,

@@ -47,7 +47,7 @@ sys.path.insert(
 SR = 16000
 
 
-def build_conversations(workdir, sp, n_convs=2, utts_per_conv=6,
+def build_conversations(workdir, n_convs=2, utts_per_conv=6,
                         gap_s=0.6, seed=0):
     """Long-form fixture: concatenated corpus utterances with silence
     gaps. Returns (conversations, manifest) where manifest maps
@@ -65,7 +65,7 @@ def build_conversations(workdir, sp, n_convs=2, utts_per_conv=6,
     for c in range(n_convs):
         wav_parts = [np.zeros(int(gap_s * SR), np.float32)]
         t = gap_s
-        utt_wavs, utt_refs = [], []
+        utt_refs = []
         for _ in range(utts_per_conv):
             uid = uids[k % len(uids)]
             k += 1
@@ -94,7 +94,6 @@ def build_conversations(workdir, sp, n_convs=2, utts_per_conv=6,
                 m["segments_start"] = "0.0"
                 m["segments_channel"] = "0"
             manifest[ref_uid] = m
-            utt_wavs.append(wav)
             utt_refs.append(ref_uid)
             wav_parts.append(wav)
             wav_parts.append(np.zeros(int(gap_s * SR), np.float32))
@@ -184,7 +183,7 @@ def main(argv=None):
     _load_split(workdir, args.utts, 0)
     sp = parts["sp"]
     convs, manifest, man_path = build_conversations(
-        workdir, sp, n_convs=args.convs, utts_per_conv=args.utts_per_conv)
+        workdir, n_convs=args.convs, utts_per_conv=args.utts_per_conv)
 
     engine = STEngine(
         parts["transformer"], parts["cnn"], parts["seq_lin"],

@@ -63,6 +63,20 @@ def parse_arguments(
     """
     if not arg_list:
         raise SystemExit("usage: <recipe> <hparams.yaml> [--key=value ...]")
+    if arg_list[0] in ("--help", "-h"):
+        # argparse-compatible help exit (code 0) so documented commands
+        # are --help-checkable (tests/test_runbook.py)
+        print(
+            "usage: <recipe> <hparams.yaml> [--key=value ...]\n\n"
+            "positional arguments:\n"
+            "  hparams.yaml     experiment config (hyperpyyaml; the "
+            "composition root)\n\n"
+            "options:\n"
+            "  --key=value      override any scalar hparam key, or set a "
+            "run-opt\n"
+            "  run-opts: " + ", ".join(sorted(RUN_OPT_DEFAULTS))
+        )
+        raise SystemExit(0)
     hparams_file = arg_list[0]
     run_opts = dict(RUN_OPT_DEFAULTS)
     overrides: Dict[str, Any] = {}

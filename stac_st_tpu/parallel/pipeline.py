@@ -44,7 +44,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = ["make_pipe_mesh", "stack_layer_params", "pipeline_apply",
-           "PipelineSpec"]
+           "pipeline_apply_sequential", "PipelineSpec"]
 
 
 class PipelineSpec(NamedTuple):
@@ -53,12 +53,18 @@ class PipelineSpec(NamedTuple):
     ``mesh`` must have the ``axis`` (pipeline stages) and, when data
     parallelism composes, ``data_axis`` axes; ``num_microbatches=None``
     defaults to the stage count (minimum bubble-free occupancy — raise it
-    to shrink the GPipe bubble fraction (P-1)/(M+P-1))."""
+    to shrink the GPipe bubble fraction (P-1)/(M+P-1)).
+
+    ``sequential_reference=True`` swaps the GPipe executor for
+    :func:`pipeline_apply_sequential` — the no-ring reference that runs
+    the IDENTICAL (microbatch, layer, data-shard) schedule, used to prove
+    dropout-on pipelined training exact (see that function's docstring)."""
 
     mesh: Mesh
     axis: str = "pipe"
     data_axis: Optional[str] = "data"
     num_microbatches: Optional[int] = None
+    sequential_reference: bool = False
 
     @property
     def row_multiple(self) -> int:
@@ -180,6 +186,95 @@ def pipeline_apply(
 
     shmap = jax.shard_map(
         stage_program,
+        mesh=mesh,
+        in_specs=(param_specs, batch_spec, extra_specs, mb_extra_specs),
+        out_specs=batch_spec,
+        check_vma=False,
+    )
+    return shmap(stacked_params, x, extra, mb_extra)
+
+
+def pipeline_apply_sequential(
+    layer_fn: Callable,
+    stacked_params: Any,
+    x: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "pipe",
+    data_axis: Optional[str] = None,
+    num_microbatches: Optional[int] = None,
+    extra: Any = None,
+    mb_extra: Any = None,
+):
+    """No-ring reference executor for :func:`pipeline_apply`.
+
+    Runs the SAME schedule — ``layer_fn(params_l, x_mb[, extra_mb][,
+    mb_extra_m])`` for every (microbatch m, layer l), under the same mesh
+    so ``lax.axis_index(data_axis)`` resolves identically inside
+    ``layer_fn`` — but executes it as a plain microbatch×layer double
+    scan on every device (params replicated, no ppermute ring, no bubble
+    ticks, no masked psum broadcast).
+
+    This is the *specification* of pipelined execution: for any layer_fn,
+    including one that draws per-(microbatch, layer, data-shard) dropout
+    keys from ``mb_extra``, ``pipeline_apply == pipeline_apply_sequential``
+    exactly. The dropout-on pipelined TRAIN parity leg of
+    ``__graft_entry__.dryrun_multichip`` and
+    ``tests/test_pipeline.py`` assert precisely this — the GPipe
+    machinery must not perturb the math even when the layers are
+    stochastic (the per-key schedule travels with the microbatch, not
+    with the executor)."""
+    P_ = mesh.shape[axis]
+    D = mesh.shape[data_axis] if data_axis else 1
+    B = x.shape[0]
+    if B % D:
+        raise ValueError(f"batch {B} not divisible by data axis {D}")
+    M = int(num_microbatches) if num_microbatches else P_
+    if (B // D) % M:
+        raise ValueError(
+            f"per-data-shard batch {B // D} not divisible by "
+            f"num_microbatches={M}"
+        )
+
+    # params replicated (the sequential reference sees the whole stack)
+    param_specs = jax.tree_util.tree_map(lambda _: P(), stacked_params)
+    batch_spec = P(data_axis) if data_axis else P()
+    extra_specs = jax.tree_util.tree_map(lambda _: batch_spec, extra)
+    mb_extra_specs = jax.tree_util.tree_map(lambda _: P(), mb_extra)
+
+    def program(params_all, x_local, extra_local, mb_extra_local):
+        mb = x_local.shape[0] // M
+        xs = x_local.reshape(M, mb, *x_local.shape[1:])
+        extras = jax.tree_util.tree_map(
+            lambda e: e.reshape(M, mb, *e.shape[1:]), extra_local
+        )
+
+        def do_microbatch(m, h):
+            ex = jax.tree_util.tree_map(lambda e: e[m], extras)
+            mbex = jax.tree_util.tree_map(
+                lambda e: e[m], mb_extra_local
+            )
+
+            def body(carry, p):
+                args = [carry]
+                if extra is not None:
+                    args.append(ex)
+                if mb_extra is not None:
+                    args.append(mbex)
+                return layer_fn(p, *args), None
+
+            h, _ = lax.scan(body, h, params_all)
+            return h
+
+        def mb_step(carry, m):
+            return carry, do_microbatch(m, xs[m])
+
+        _, outs = lax.scan(mb_step, jnp.zeros((), x.dtype),
+                           jnp.arange(M))
+        return outs.reshape(x_local.shape)
+
+    shmap = jax.shard_map(
+        program,
         mesh=mesh,
         in_specs=(param_specs, batch_spec, extra_specs, mb_extra_specs),
         out_specs=batch_spec,

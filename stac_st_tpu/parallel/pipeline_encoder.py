@@ -24,7 +24,11 @@ from jax.sharding import Mesh
 from ..models.multitask import TransformerMultiTask, _as_callable
 from ..models.transformer import EncoderLayer
 from ..ops import masks as M
-from .pipeline import pipeline_apply, stack_layer_params
+from .pipeline import (
+    pipeline_apply,
+    pipeline_apply_sequential,
+    stack_layer_params,
+)
 
 __all__ = ["pipelined_encode", "pipelined_encode_train"]
 
@@ -116,17 +120,28 @@ def pipelined_encode_train(
     num_microbatches: Optional[int] = None,
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    sequential_reference: bool = False,
 ) -> jax.Array:
     """Teacher-forced-forward encoder pass with the layer stack pipelined.
 
     Mirrors the encoder half of ``TransformerMultiTask.__call__`` (ROUND-
     based padding mask — reference ``TransformerMultiTask.py:223-232``), so
     the training step can swap it in; pair with
-    ``model.forward_decoder`` for the decoder half. With ``deterministic=
-    False`` dropout runs inside the pipelined layers, keyed per
-    (microbatch, layer, data-shard) from ``dropout_rng`` — the mask STREAM
-    differs from the sequential path's flax rng folding (both are valid
-    i.i.d. dropout; parity tests compare deterministic passes).
+    ``model.forward_decoder`` for the decoder half.
+
+    With ``deterministic=False`` dropout runs inside the pipelined
+    layers. The key schedule is the SPEC: key(microbatch m, layer l,
+    data-shard d) = fold_in(fold_in(split(rest, M)[m], l), d), with flax's
+    module-path folding below each layer key. It is a function of the
+    (m, l, d) coordinates only — NOT of which stage executes the layer or
+    of the GPipe tick order — so pipelined execution equals the
+    sequential executor of the same schedule *exactly*, dropout on
+    (``sequential_reference=True`` runs that executor —
+    :func:`stac_st_tpu.parallel.pipeline.pipeline_apply_sequential`;
+    ``dryrun_multichip`` asserts the equality at flagship shape). The
+    stream differs from the unpipelined flax path's folding — both are
+    valid i.i.d. dropout; cross-path parity tests compare deterministic
+    passes.
     """
     p = params["params"] if "params" in params else params
     train = not deterministic
@@ -161,6 +176,9 @@ def pipelined_encode_train(
 
     layer_def = _encoder_layer_def(model)
     M_ = int(num_microbatches) if num_microbatches else mesh.shape[axis]
+    apply_fn = (
+        pipeline_apply_sequential if sequential_reference else pipeline_apply
+    )
 
     if train and model.dropout > 0.0:
         # per-layer indices ride the scanned params; per-microbatch keys
@@ -188,7 +206,7 @@ def pipelined_encode_train(
                     {"params": pk["p"]}, x_mb, None, False,
                     rngs={"dropout": key})
 
-        h = pipeline_apply(
+        h = apply_fn(
             layer_fn, stacked, h,
             mesh=mesh, axis=axis, data_axis=data_axis,
             num_microbatches=num_microbatches,
@@ -204,7 +222,7 @@ def pipelined_encode_train(
                 return layer_def.apply(
                     {"params": layer_params}, x_mb, None, True)
 
-        h = pipeline_apply(
+        h = apply_fn(
             layer_fn, stacked, h,
             mesh=mesh, axis=axis, data_axis=data_axis,
             num_microbatches=num_microbatches,

@@ -41,14 +41,19 @@ TPU-native design — the device never sees the raggedness:
   rows while the host loop stays a single program. Admission scatters
   replicated rows onto whichever shard owns the target slot.
 
-Decoding is GREEDY (beam 1): one hypothesis per slot is what makes slot
-swapping exact and cheap. That is a quality trade vs the batch engine's
-beam-10 default (the reference protocol's test config —
-``transformer_multitask.yaml:228-251``); use this engine for
-throughput/latency-bound serving and the batch engine for protocol-exact
-evaluation. Output per utterance is exactly the model's greedy decode
-(tests/test_serving_continuous.py asserts token equality vs a sequential
-single-utterance oracle).
+Decoding in the slot loop is GREEDY (beam 1): one hypothesis per slot is
+what makes slot swapping exact and cheap. Output per utterance is exactly
+the model's greedy decode (tests/test_serving_continuous.py asserts token
+equality vs a sequential single-utterance oracle). For deployments that
+need the reference TEST-PROTOCOL output (beam 10, eos-threshold, length
+normalization, temperature 1.15 — ``transformer_multitask.yaml:228-251``),
+``protocol_finalize=True`` turns the loop into the draft tier of a
+HYBRID: finished utterances are re-decoded through the batch engine's
+protocol search by a finalizer thread (batched per bucket × language
+pair), the greedy draft streams to the caller immediately
+(``submit(on_draft=...)``), and the future resolves with text
+token-identical to ``STEngine.translate``/``transcribe``. Draft/final
+agreement is surfaced in ``stats()['draft_exact']``.
 """
 
 from __future__ import annotations
@@ -82,6 +87,7 @@ class _Request:
     target_lang: str
     future: Future = field(default_factory=Future)
     t_submit: float = 0.0
+    on_draft: Optional[object] = None
 
 
 class _Slot:
@@ -124,7 +130,10 @@ class ContinuousBatchingEngine:
     def __init__(self, engine, slots: int = 8, chunk: int = 16,
                  max_new_tokens: Optional[int] = None,
                  admit_rungs: Optional[Sequence[int]] = None,
-                 queue_capacity: int = 1024):
+                 queue_capacity: int = 1024,
+                 protocol_finalize: bool = False,
+                 finalize_batch: int = 8,
+                 finalize_linger: float = 0.02):
         from .ops import pallas as pallas_mod
 
         if pallas_mod.is_enabled():
@@ -371,6 +380,31 @@ class ContinuousBatchingEngine:
             "slot_steps": 0,
         }
         self._lock = threading.Lock()
+
+        # ------------------------------------------- protocol finalization
+        # Hybrid serving (VERDICT r4 item 3): the slot loop produces a
+        # GREEDY DRAFT with continuous-batching latency; finished
+        # utterances are then re-decoded through the batch engine's
+        # test-protocol search (beam 10, eos-threshold, length norm,
+        # temperature 1.15 — transformer_multitask.yaml:228-251) by a
+        # finalizer thread, batched per (bucket, language-pair) group.
+        # The future resolves with the PROTOCOL-EXACT text (token streams
+        # identical to STEngine.translate/transcribe — same wav, same
+        # bucket width, row-independent search); the draft reaches the
+        # caller early via submit(on_draft=...). Draft-vs-final agreement
+        # is tracked in stats()['draft_exact'].
+        self.protocol_finalize = bool(protocol_finalize)
+        self._finalize_batch = max(1, int(finalize_batch))
+        self._finalize_linger = float(finalize_linger)
+        self._final_q: "queue.Queue[tuple]" = queue.Queue()
+        self._finalizer: Optional[threading.Thread] = None
+        if self.protocol_finalize:
+            self._stats.update({"finalized": 0, "draft_exact": 0})
+            self._finalizer = threading.Thread(
+                target=self._finalize_loop, name="protocol-finalizer",
+                daemon=True)
+            self._finalizer.start()
+
         self._worker = threading.Thread(
             target=self._run, name="continuous-batching", daemon=True)
         self._worker.start()
@@ -423,10 +457,14 @@ class ContinuousBatchingEngine:
 
     def submit(self, wav: np.ndarray, task: str = "translate",
                source_lang: Optional[str] = None,
-               target_lang: Optional[str] = None) -> Future:
+               target_lang: Optional[str] = None,
+               on_draft=None) -> Future:
         """Enqueue one utterance; the Future resolves to the decoded text.
 
-        ``task``: 'translate' (src→tgt) or 'transcribe' (src→src)."""
+        ``task``: 'translate' (src→tgt) or 'transcribe' (src→src).
+        ``on_draft``: with ``protocol_finalize``, called with the greedy
+        draft text as soon as the slot loop finishes it (the future then
+        resolves later with the protocol-exact beam text)."""
         if self._closing.is_set():
             raise RuntimeError("engine is closed")
         src = source_lang or self.engine.source_lang
@@ -446,6 +484,7 @@ class ContinuousBatchingEngine:
             wav = wav.astype(np.float32)
         req = _Request(wav=wav, source_lang=src, target_lang=tgt,
                        t_submit=time.monotonic())
+        req.on_draft = on_draft
         self._queue.put(req)
         with self._lock:
             self._stats["submitted"] += 1
@@ -461,9 +500,18 @@ class ContinuousBatchingEngine:
         return [f.result() for f in futs]
 
     def close(self, timeout: float = 60.0) -> None:
-        """Drain in-flight work, then stop the worker."""
+        """Drain in-flight work, then stop the worker (and finalizer)."""
         self._closing.set()
         self._worker.join(timeout)
+        if self._finalizer is not None:
+            self._finalizer.join(timeout)
+            # finalizer died/timed out with work pending: fail loudly
+            while True:
+                try:
+                    req, _draft = self._final_q.get_nowait()
+                except queue.Empty:
+                    break
+                req.future.set_exception(RuntimeError("engine closed"))
         # anything still queued after the drain window fails loudly
         while True:
             try:
@@ -581,9 +629,67 @@ class ContinuousBatchingEngine:
             self._stats["tokens"] += len(tokens)
         try:
             text = self.engine.tokenizer.decode_ids(tokens)
-            req.future.set_result(text)
         except Exception as e:  # tokenizer failure must not kill the loop
             req.future.set_exception(e)
+            return
+        if self.protocol_finalize:
+            if req.on_draft is not None:
+                try:
+                    req.on_draft(text)
+                except Exception:  # user callback must not kill the loop
+                    logger.exception("on_draft callback failed")
+            self._final_q.put((req, text))
+        else:
+            req.future.set_result(text)
+
+    # ------------------------------------------------ protocol finalizer
+    def _finalize_loop(self) -> None:
+        """Batch finished drafts through the protocol-exact beam search.
+
+        Groups by (source_lang, target_lang) so each batch engine call
+        carries one prompt; within a call, STEngine buckets by audio
+        width itself. Runs in its own thread — the device interleaves
+        the beam programs with the slot loop's chunk programs."""
+        while True:
+            try:
+                first = self._final_q.get(timeout=0.05)
+            except queue.Empty:
+                # drain-then-exit: once the slot worker has stopped, no
+                # new drafts can arrive
+                if self._closing.is_set() and not self._worker.is_alive():
+                    return
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self._finalize_linger
+            while len(batch) < self._finalize_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._final_q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            groups: Dict[Tuple[str, str], List[tuple]] = {}
+            for req, draft in batch:
+                groups.setdefault(
+                    (req.source_lang, req.target_lang), []
+                ).append((req, draft))
+            for (src, tgt), items in groups.items():
+                try:
+                    finals = self.engine.translate(
+                        [r.wav for r, _ in items],
+                        source_lang=src, target_lang=tgt)
+                except Exception as e:
+                    for req, _ in items:
+                        req.future.set_exception(e)
+                    continue
+                exact = 0
+                for (req, draft), final in zip(items, finals):
+                    exact += final == draft
+                    req.future.set_result(final)
+                with self._lock:
+                    self._stats["finalized"] += len(items)
+                    self._stats["draft_exact"] += exact
 
     def _drain_queue(self) -> List[_Request]:
         """Pop up to len(free) queued requests without blocking."""

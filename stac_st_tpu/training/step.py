@@ -211,6 +211,9 @@ def _forward(params, cmvn_state, batch, cfg: StepConfig, train: bool,
                 jax.random.fold_in(rngs["dropout"], 7) if train else None
             ),
             deterministic=not train,
+            sequential_reference=getattr(
+                spec, "sequential_reference", False
+            ),
         )
         dec_out = cfg.transformer.apply(
             params["Transformer"], batch["tokens_bos"], enc_out, wav_lens,

@@ -250,9 +250,13 @@ class STTrainer:
 
             enable_compile_cache(str(cache_dir))
         seed = int(h.get("seed", 8886))
-        if self._rng_scoped and self._rng_base_impl != "threefry":
-            # typed key: the rbg impl is carried BY the key through every
-            # split/fold downstream — no process-global state touched
+        if self._rng_scoped:
+            # typed key: the impl is carried BY the key through every
+            # split/fold downstream — no process-global state touched.
+            # threefry_scoped must build a typed key too: PRNGKey follows
+            # the process-global default impl, so another trainer that
+            # flipped the global default to rbg would silently leak into
+            # a 'scoped threefry' request (ADVICE r4 item 2).
             self._rng = jax.random.key(seed, impl=self._rng_base_impl)
         else:
             self._rng = jax.random.PRNGKey(seed)

@@ -32,9 +32,11 @@ def test_full_protocol_runs_end_to_end(tmp_path):
         for k in ("st_bleu", "asr_wer", "st_bleu_with_turns",
                   "asr_wer_with_turns"):
             assert np.isfinite(r[k]), (r, k)
-    # pause VAD must split the 3-utterance conversation; SHAS at
-    # (min 3 s, max 6 s) must cover it in fewer segments
-    assert rows[0]["segments"] == 3
+    # pause VAD must split the 3-utterance conversation into roughly one
+    # segment per utterance (a range, not ==3: this is a plumbing gate,
+    # and retuned pause_based_segments defaults should not fail it —
+    # ADVICE r4 item 4); SHAS at (min 3 s, max 6 s) must not be finer
+    assert 2 <= rows[0]["segments"] <= 4
     assert rows[1]["segments"] <= rows[0]["segments"]
 
     # the F1 grid covers the reference tolerance grid

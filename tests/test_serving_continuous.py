@@ -447,3 +447,100 @@ class TestMeshedContinuous:
             assert got == want
         finally:
             cont.close()
+
+
+class TestProtocolFinalize:
+    """Hybrid serving (VERDICT r4 item 3): the slot loop drafts greedily,
+    the finalizer re-decodes finished utterances through the batch
+    engine's protocol search — futures must resolve with text
+    TOKEN-IDENTICAL to STEngine.translate/transcribe, and the draft must
+    stream early via on_draft."""
+
+    def test_finals_match_batch_engine_exactly(self, parts, rng):
+        engine = _build_engine(parts)
+        cont = ContinuousBatchingEngine(
+            engine, slots=4, chunk=4, protocol_finalize=True,
+            finalize_batch=4)
+        specs = [(0.2, "translate"), (0.8, "transcribe"),
+                 (0.45, "translate"), (0.9, "translate"),
+                 (0.3, "transcribe"), (0.6, "translate")]
+        wavs = [_wav(rng, s) for s, _ in specs]
+        try:
+            futs = [cont.submit(w, task) for w, (_, task) in
+                    zip(wavs, specs)]
+            got = [f.result(timeout=300) for f in futs]
+        finally:
+            cont.close()
+        # the batch engine on the same wavs IS the spec
+        ref = _build_engine(parts)
+        for g, w, (_, task) in zip(got, wavs, specs):
+            if task == "translate":
+                want = ref.translate([w])[0]
+            else:
+                want = ref.transcribe([w])[0]
+            assert g == want, (task, g, want)
+        st = cont.stats()
+        assert st["finalized"] == len(specs)
+        assert 0 <= st["draft_exact"] <= st["finalized"]
+
+    def test_draft_streams_before_final(self, parts, rng):
+        engine = _build_engine(parts)
+        cont = ContinuousBatchingEngine(
+            engine, slots=2, chunk=4, protocol_finalize=True)
+        drafts = []
+        order = []
+        try:
+            wav = _wav(rng, 0.5)
+            fut = cont.submit(
+                wav, "translate",
+                on_draft=lambda t: (drafts.append(t),
+                                    order.append("draft")))
+            final = fut.result(timeout=300)
+            order.append("final")
+        finally:
+            cont.close()
+        assert order == ["draft", "final"]
+        assert len(drafts) == 1
+        # the draft is exactly the greedy engine's output
+        plain_cont = ContinuousBatchingEngine(
+            _build_engine(parts), slots=2, chunk=4)
+        try:
+            want_draft = plain_cont.submit(
+                wav, "translate").result(timeout=300)
+        finally:
+            plain_cont.close()
+        assert drafts[0] == want_draft
+        # and the future carried the protocol decode
+        assert final == _build_engine(parts).translate([wav])[0]
+
+    def test_mixed_language_groups(self, parts, rng):
+        """Finalizer groups by language pair; mixed pairs in one batch
+        window must each get their own prompt's protocol output."""
+        engine = _build_engine(parts)
+        cont = ContinuousBatchingEngine(
+            engine, slots=4, chunk=4, protocol_finalize=True,
+            finalize_batch=8, finalize_linger=0.2)
+        wavs = [_wav(rng, 0.3), _wav(rng, 0.4), _wav(rng, 0.5)]
+        try:
+            futs = [
+                cont.submit(wavs[0], "translate"),
+                cont.submit(wavs[1], "transcribe"),
+                cont.submit(wavs[2], "translate"),
+            ]
+            got = [f.result(timeout=300) for f in futs]
+        finally:
+            cont.close()
+        ref = _build_engine(parts)
+        assert got[0] == ref.translate([wavs[0]])[0]
+        assert got[1] == ref.transcribe([wavs[1]])[0]
+        assert got[2] == ref.translate([wavs[2]])[0]
+
+    def test_close_drains_finalizer(self, parts, rng):
+        engine = _build_engine(parts)
+        cont = ContinuousBatchingEngine(
+            engine, slots=2, chunk=4, protocol_finalize=True)
+        futs = [cont.submit(_wav(rng, 0.3 + 0.1 * i), "translate")
+                for i in range(4)]
+        cont.close()
+        for f in futs:
+            assert isinstance(f.result(timeout=1), str)

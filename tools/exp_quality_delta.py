@@ -166,10 +166,14 @@ def _score(name, split, asr_hyp, st_hyp, refs_es, refs_en):
 
     bleu = BLEUStats()
     ids = [f"u{i}" for i in range(len(st_hyp))]
-    bleu.append(ids, [strip_markers(t) for t in st_hyp], [refs_en])
+    # markers are stripped from hyps AND refs (the reference's "no_turn"
+    # scoring variant) so multi-turn utterances aren't charged guaranteed
+    # deletions — ADVICE r4 item 1
+    bleu.append(ids, [strip_markers(t) for t in st_hyp],
+                [[strip_markers(r) for r in refs_en]])
     wer = ErrorRateStats()
     wer.append(ids, [strip_markers(t).split() for t in asr_hyp],
-               [r.split() for r in refs_es])
+               [strip_markers(r).split() for r in refs_es])
     row = {
         "engine": name, "split": split,
         "st_bleu": round(float(bleu.summarize("BLEU")), 2),

@@ -41,9 +41,110 @@ def _read_lines(path, field):
     return [str(v[field]) for v in data.values() if v.get(field)]
 
 
+def preflight(out_path=None):
+    """Narrow the stated tokenizer residual (VERDICT r4 item 8): the only
+    in-image-unverifiable exposure is Unicode-version skew between this
+    Python's ``unicodedata`` and spm's pinned ICU charsmap data.
+
+    Unicode's normalization stability policy guarantees NFKC of a code
+    point never changes once ASSIGNED — so skew can only come from code
+    points assigned after spm's charsmap snapshot (spm passes unknown
+    code points through; a newer unicodedata may map them). This scan
+    enumerates every assigned code point, classifies how our nmt_nfkc
+    treats it, and emits the manifest of NON-IDENTITY code points — the
+    exact set an on-site verifier must compare first (everything else is
+    identity on both sides by construction + stability policy).
+
+    Runs WITHOUT sentencepiece (pure unicodedata); when real spm is also
+    importable, additionally normalizes every manifest code point through
+    spm's own normalizer and reports actual mismatches.
+    """
+    import unicodedata
+
+    from stac_st_tpu.tokenizer.bpe import _nmt_nfkc
+
+    manifest = {}
+    counts = {"assigned": 0, "identity": 0, "removed": 0, "space": 0,
+              "nfkc_changed": 0}
+    newly_assigned_since_3_2 = 0
+    old = getattr(unicodedata, "ucd_3_2_0", None)
+    for cp in range(0x110000):
+        if 0xD800 <= cp <= 0xDFFF:
+            continue
+        ch = chr(cp)
+        if unicodedata.category(ch) in ("Cn",):
+            continue
+        counts["assigned"] += 1
+        is_new = old is not None and old.category(ch) == "Cn"
+        newly_assigned_since_3_2 += is_new
+        out = _nmt_nfkc(ch)
+        if out == ch:
+            counts["identity"] += 1
+            continue
+        if out == "":
+            counts["removed"] += 1
+            kind = "removed"
+        elif out == " ":
+            counts["space"] += 1
+            kind = "space"
+        else:
+            counts["nfkc_changed"] += 1
+            kind = "nfkc"
+        manifest[f"{cp:04X}"] = {
+            "out": out, "kind": kind,
+            **({"new_since_3_2": True} if is_new else {}),
+        }
+
+    report = {
+        "metric": "tokenizer_preflight",
+        "python_unidata_version": unicodedata.unidata_version,
+        "counts": counts,
+        "newly_assigned_since_3_2": newly_assigned_since_3_2,
+        "non_identity_manifest_size": len(manifest),
+        "high_risk": sum(1 for v in manifest.values()
+                         if v.get("new_since_3_2")),
+    }
+
+    # optional: direct comparison through real spm's normalizer
+    try:
+        import sentencepiece as spm  # noqa: F401
+
+        norm = None
+        if hasattr(spm, "SentencePieceNormalizer"):
+            norm = spm.SentencePieceNormalizer()
+            norm.LoadFromRuleName("nmt_nfkc")
+        if norm is not None:
+            mismatches = {}
+            for hexcp, row in manifest.items():
+                ch = chr(int(hexcp, 16))
+                got = norm.Normalize(ch)
+                if got != row["out"]:
+                    mismatches[hexcp] = {"ours": row["out"], "spm": got}
+            report["spm_compared"] = True
+            report["spm_mismatches"] = len(mismatches)
+            report["spm_mismatch_detail"] = dict(
+                list(mismatches.items())[:50])
+        else:
+            report["spm_compared"] = False
+            report["note"] = ("sentencepiece present but no "
+                              "SentencePieceNormalizer API; use "
+                              "`spm_normalize --normalization_rule_name="
+                              "nmt_nfkc` over the manifest instead")
+    except ImportError:
+        report["spm_compared"] = False
+
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"report": report, "manifest": manifest}, f,
+                      ensure_ascii=False, separators=(",", ":"))
+        report["manifest_file"] = out_path
+    print(json.dumps(report, ensure_ascii=False))
+    return 0 if report.get("spm_mismatches", 0) == 0 else 2
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--corpus", required=True, help="JSON manifest")
+    ap.add_argument("--corpus", help="JSON manifest")
     ap.add_argument("--read", default="transcription_and_translation")
     ap.add_argument("--vocab", type=int, default=5000)
     ap.add_argument(
@@ -51,7 +152,18 @@ def main():
         help="user_defined_symbols (reference yaml:40)",
     )
     ap.add_argument("--keep", help="directory to keep both models in")
+    ap.add_argument(
+        "--preflight", action="store_true",
+        help="scan all assigned code points; emit the version-sensitive "
+             "normalization manifest (runs without sentencepiece)")
+    ap.add_argument("--preflight-out", default=None,
+                    help="write the full manifest JSON here")
     args = ap.parse_args()
+
+    if args.preflight:
+        return preflight(args.preflight_out)
+    if not args.corpus:
+        ap.error("--corpus is required (unless --preflight)")
 
     try:
         import sentencepiece as spm

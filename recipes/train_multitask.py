@@ -83,6 +83,16 @@ def dataio_prepare(hparams):
             shuffle=dyn.get("shuffle_ex", True) and shuffle,
             batch_ordering=dyn.get("batch_ordering", "random"),
             max_batch_ex=dyn.get("max_batch_ex", 128),
+            # drop_last=True bounds the compile set: leftover partial
+            # batches otherwise add a fresh (rows, width) step shape per
+            # bucket per epoch (the reference's GPU sampler pays no such
+            # cost; XLA's static shapes do)
+            drop_last=dyn.get("drop_last", False),
+            # 'quantile' fits bucket boundaries to THIS corpus's duration
+            # distribution; SB's warped default assumes durations spread
+            # up to max_batch_len and collapses short-utterance corpora
+            # into one over-padded bucket
+            boundaries=dyn.get("boundaries", "sb_warped"),
         )
         valid_sampler = DynamicBatchSampler(
             valid_ds.durations(),
@@ -90,13 +100,17 @@ def dataio_prepare(hparams):
             num_buckets=dyn.get("num_buckets", 50),
             shuffle=dyn.get("shuffle_ex", True),
             batch_ordering=dyn.get("batch_ordering", "random"),
+            boundaries=dyn.get("boundaries", "sb_warped"),
         )
         nw = int(hparams.get("train_dataloader_opts", {})
                  .get("num_workers", hparams.get("num_workers", 1)) or 1)
+        tpm = int(hparams.get("token_pad_multiple", 32))
         loaders["train"] = BatchLoader(train_ds, sampler=train_sampler,
-                                       seed=seed, num_workers=nw)
+                                       seed=seed, num_workers=nw,
+                                       token_pad_multiple=tpm)
         loaders["valid"] = BatchLoader(valid_ds, sampler=valid_sampler,
-                                       seed=seed, num_workers=nw)
+                                       seed=seed, num_workers=nw,
+                                       token_pad_multiple=tpm)
     else:
         loaders["train"] = BatchLoader(
             train_ds, batch_size=hparams.get("batch_size", 4),

@@ -32,6 +32,7 @@ RUN_OPT_DEFAULTS: Dict[str, Any] = {
     "train_attn_kernel": "auto",        # auto | on | off (flash train attn)
     "pipeline_stages": 0,               # >0 => pipeline-parallel encoder
     "compile_cache_dir": "",            # non-empty => persistent XLA cache
+    "transfer_int16": False,            # ship train audio H2D as PCM16
     "noprogressbar": False,
     "profile_dir": "",                  # non-empty => jax.profiler traces
     "local_rank": 0,                    # accepted/ignored

@@ -171,6 +171,10 @@ def _cast_floats(tree, dtype):
 def _forward(params, cmvn_state, batch, cfg: StepConfig, train: bool,
              update_cmvn: bool, rng):
     wavs, wav_lens = batch["sig"], batch["sig_len"]
+    if wavs.dtype == jnp.int16:
+        # PCM16 transfer (trainer run_opt transfer_int16): unpack on
+        # device — bit-exact inverse of the host pack
+        wavs = wavs.astype(jnp.float32) / 32768.0
     if cfg.device_speed is not None and train and "speed_idx" in batch:
         wavs, wav_lens = cfg.device_speed.apply(
             wavs, wav_lens, batch["speed_idx"]

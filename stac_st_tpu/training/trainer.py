@@ -208,6 +208,10 @@ class STTrainer:
         # (55.6 vs 51.7 ms/step, B32×15 s small preset on chip — round 4;
         # the round-2 "3× slower" typed-key figure did not reproduce).
         # Pass rng_impl: threefry to opt out of hardware RNG entirely.
+        # run_opt transfer_int16: ship training audio host->device as
+        # PCM16 (see _device_batch); exact and ~2x cheaper on H2D-bound
+        # hosts (dev tunnels, thin NICs)
+        self._transfer_int16 = bool(self.run_opts.get("transfer_int16"))
         rng_impl = str(self.run_opts.get("rng_impl", "rbg")).lower()
         self._rng_scoped = rng_impl.endswith("_scoped")
         base_impl = rng_impl[:-len("_scoped")] if self._rng_scoped \
@@ -357,8 +361,20 @@ class STTrainer:
     def _device_batch(self, batch) -> Dict[str, jnp.ndarray]:
         from ..data.dataset import pad_batch_rows
 
+        sig = batch.sig.data
+        if self._transfer_int16 and sig.dtype == np.float32:
+            # ship PCM16 and convert on device (run_opt transfer_int16):
+            # halves the dominant H2D bytes of a 450 audio-s microbatch
+            # (~29 MB fp32 -> 14.4 MB). Exact: source audio is 16-bit on
+            # disk, so round(f32*32768) inverts the loader's /32768 and
+            # the on-device unpack reproduces the fp32 values bit-for-bit
+            # (the serving engine's transfer_dtype='int16' contract,
+            # serving.py).
+            sig = np.clip(np.rint(sig * 32768.0), -32768, 32767).astype(
+                np.int16
+            )
         arrays = {
-            "sig": batch.sig.data,
+            "sig": sig,
             "sig_len": batch.sig.lengths,
             "tokens": batch.tokens.data,
             "tokens_len": batch.tokens.lengths,

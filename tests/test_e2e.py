@@ -630,3 +630,36 @@ class TestScopedRngImpl:
         )
         assert np.isfinite(float(metrics["loss"]))
         assert jax.config.jax_default_prng_impl == prev_impl
+
+
+class TestInt16Transfer:
+    def test_pcm16_transfer_is_loss_exact(self, corpus, tmp_path_factory):
+        """run_opt transfer_int16 ships audio H2D as PCM16; because the
+        source wavs are 16-bit on disk, the pack/unpack round trip is
+        bit-exact and the training loss must be IDENTICAL to the fp32
+        transfer path."""
+        tmp_path = tmp_path_factory.mktemp("i16")
+        dataset = SpeechDataset(
+            corpus["st"], tokenizer=corpus["sp"],
+            replacements={"data_root": corpus["root"]},
+        )
+        loader = BatchLoader(dataset, batch_size=4, token_pad_multiple=16)
+        losses = {}
+        for name, opts in (("fp32", {}), ("int16", {"transfer_int16": True})):
+            hparams, modules = tiny_hparams(corpus, tmp_path)
+            trainer = STTrainer(
+                modules=modules, opt_class=hparams["Adam"],
+                hparams=hparams, run_opts=dict(opts),
+            )
+            loader.set_epoch(0)
+            batch = next(iter(loader))
+            dev = trainer._device_batch(batch)
+            if name == "int16":
+                assert dev["sig"].dtype == jnp.int16
+            trainer.ensure_state(dev)
+            _, metrics = trainer.train_step(
+                trainer.state, dev, jax.random.PRNGKey(5),
+                update_cmvn=True,
+            )
+            losses[name] = float(metrics["loss"])
+        assert losses["int16"] == pytest.approx(losses["fp32"], rel=1e-6)

@@ -178,6 +178,13 @@ def main():
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtfx / 20.0, 3),
         "rtfx_device_throughput": round(rtfx_device, 2),
+        # host->device dispatch round trip (median of 20 trivial calls):
+        # the environment tax each dispatch-inclusive number pays per
+        # call. Short trained decodes make ~2 round trips per iteration,
+        # so drift in THIS number (tunnel load, not framework) moves
+        # trained_rtfx_cap192 directly — publishing it makes that drift
+        # attributable (VERDICT r4 item 4; docs/PERF.md round 5).
+        "dispatch_ms_median": _dispatch_ms(),
         **trained,
     }
     # Regression floors, RATCHETED (VERDICT r4 item 4): each floored key's
@@ -207,6 +214,21 @@ def main():
     print(json.dumps(result))
     if result.get("regression"):
         sys.exit(1)
+
+
+def _dispatch_ms():
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    f(x).block_until_ready()  # compile
+    times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        f(x).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return round(float(np.median(times)) * 1000.0, 2)
 
 
 def _best_prior(keys):

@@ -137,7 +137,7 @@ def _key(seed):
 
 
 def _measure(preset, batch_rows, n_steps=10):
-    """Returns (step_ms, audio_s_per_s, mfu_pct, flops_per_step)."""
+    """Returns (step_ms, audio_s_per_s, mfu_pct, flops_per_step, roofline)."""
     import jax
     import optax
 
@@ -192,13 +192,15 @@ def _measure(preset, batch_rows, n_steps=10):
     # count is the scan program's count as-is — do not divide by n_steps.
     compiled = multi_step.lower(
         state, batch, _key(1)).compile()
-    flops_per_step = None
+    flops_per_step = bytes_per_step = None
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         if ca and ca.get("flops"):
             flops_per_step = float(ca["flops"])
+        if ca and ca.get("bytes accessed"):
+            bytes_per_step = float(ca["bytes accessed"])
     except Exception:
         pass
 
@@ -211,7 +213,29 @@ def _measure(preset, batch_rows, n_steps=10):
 
     peak = float(os.environ.get("STAC_TPU_PEAK_TFLOPS", "197")) * 1e12
     mfu = (flops_per_step / dt / peak * 100.0) if flops_per_step else None
-    return (dt * 1000.0, batch_rows * SECONDS / dt, mfu, flops_per_step)
+    roofline = None
+    if flops_per_step and bytes_per_step:
+        # roofline statement (docs/PERF.md): the step cannot run faster
+        # than max(compute bound, HBM bound). "bytes accessed" is XLA's
+        # own HLO-level traffic estimate (counts re-reads an actual
+        # fusion may keep in VMEM, so the HBM bound is an upper bound on
+        # required traffic and the derived ceiling is conservative).
+        hbm = float(os.environ.get("STAC_TPU_HBM_GBS", "819")) * 1e9
+        t_compute = flops_per_step / peak
+        t_hbm = bytes_per_step / hbm
+        bound_s = max(t_compute, t_hbm)
+        roofline = {
+            "flops_per_step": flops_per_step,
+            "bytes_per_step": bytes_per_step,
+            "arith_intensity": round(flops_per_step / bytes_per_step, 1),
+            "bound_compute_ms": round(t_compute * 1e3, 2),
+            "bound_hbm_ms": round(t_hbm * 1e3, 2),
+            "bound_ms": round(bound_s * 1e3, 2),
+            "measured_ms": round(dt * 1e3, 2),
+            "of_roofline_pct": round(bound_s / dt * 100.0, 1),
+        }
+    return (dt * 1000.0, batch_rows * SECONDS / dt, mfu, flops_per_step,
+            roofline)
 
 
 def main():
@@ -235,7 +259,7 @@ def main():
         rows = []
         for b in grid:
             try:
-                ms, aps, mfu, fl = _measure(preset, b)
+                ms, aps, mfu, fl, roof = _measure(preset, b)
             except Exception as exc:  # OOM etc: record and stop the sweep
                 rows.append({"batch": b, "error": str(exc)[:200]})
                 break
@@ -244,6 +268,8 @@ def main():
                 "step_ms": round(ms, 1),
                 "audio_s_per_s": round(aps, 1),
                 "mfu_pct": round(mfu, 1) if mfu else None,
+                **({"roofline": roof} if roof and os.environ.get(
+                    "STAC_TRAIN_ROOFLINE") else {}),
             })
             print(json.dumps(rows[-1]))
         print(json.dumps({"metric": "train_sweep", "preset": preset,
@@ -251,7 +277,7 @@ def main():
         return
 
     batch_rows = int(os.environ.get("STAC_TRAIN_BATCH", "32"))
-    ms, aps, mfu, fl = _measure(preset, batch_rows)
+    ms, aps, mfu, fl, roof = _measure(preset, batch_rows)
     print(json.dumps({
         "metric": "train_audio_seconds_per_sec",
         "value": round(aps, 1),
@@ -259,6 +285,7 @@ def main():
         "step_ms": round(ms, 1),
         "batch_audio_s": batch_rows * SECONDS,
         "mfu_pct": round(mfu, 1) if mfu else None,
+        **({"roofline": roof} if roof else {}),
         "precision": ("fp32" if os.environ.get("STAC_TRAIN_FP32") == "1"
                       else "bf16"),
         "preset": preset,

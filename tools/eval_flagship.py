@@ -117,15 +117,24 @@ def main(argv=None):
     from stac_st_tpu.serving import STEngine
     from stac_st_tpu.serving_continuous import ContinuousBatchingEngine
 
-    tok_file = os.path.join(args.data, "tok", "5000_bpe.model")
+    import glob as _glob
+
+    from stac_st_tpu.tokenizer import SentencePieceProcessor
+
+    toks = sorted(_glob.glob(os.path.join(args.data, "tok", "*.model")))
+    if not toks:
+        raise SystemExit(f"no tokenizer model under {args.data}/tok")
+    tok_file = toks[0]
+    sp = SentencePieceProcessor(tok_file)
+    # pad_batch_rows=16 bounds the decode compile set to one (16-row,
+    # bucket) program per bucket, shared by the batch engine, the hybrid
+    # finalizer's internal batch calls, and the chunked driver below
     engine = STEngine.from_saved_experiment(
         args.exp, tokenizer_file=tok_file,
         beam_size=10, bucket_seconds=(2.5, 4.0, 6.0, 8.0, 14.0),
-        max_decode_tokens=192,
+        max_decode_tokens=192, pad_batch_rows=16,
+        turn_id=sp.piece_to_id("[turn]"), xt_id=sp.piece_to_id("[xt]"),
     )
-    sp = engine.tokenizer
-    engine.turn_id = sp.piece_to_id("[turn]")
-    engine.xt_id = sp.piece_to_id("[xt]")
 
     uids, wavs, refs_es, refs_en = load_split(args.data, args.split)
     if args.limit:
@@ -137,11 +146,25 @@ def main(argv=None):
               "audio_seconds": round(audio_s, 1)}
     rows = []
 
+    def chunked(call, wavs, chunk=16):
+        """Duration-sorted fixed-size chunks: every device call hits a
+        pre-padded (16-row, bucket) shape; results restored to input
+        order."""
+        order = sorted(range(len(wavs)), key=lambda i: len(wavs[i]))
+        out = [None] * len(wavs)
+        for k in range(0, len(order), chunk):
+            idx = order[k:k + chunk]
+            for i, text in zip(idx, call([wavs[i] for i in idx])):
+                out[i] = text
+        return out
+
     # ---- batch beam-10 (the reference test protocol) --------------------
-    engine.transcribe(wavs[:1]); engine.translate(wavs[:1])  # warm compile
+    # pass 1 warms every (16-row, bucket) compile; pass 2 is the timed one
+    asr_b = chunked(engine.transcribe, wavs)
+    st_b = chunked(engine.translate, wavs)
     t0 = time.perf_counter()
-    asr_b = engine.transcribe(wavs)
-    st_b = engine.translate(wavs)
+    asr_b = chunked(engine.transcribe, wavs)
+    st_b = chunked(engine.translate, wavs)
     dt = time.perf_counter() - t0
     bleu, wer = score(asr_b, st_b, refs_es, refs_en)
     rows.append({"engine": "batch_beam10", "st_bleu": bleu, "asr_wer": wer,

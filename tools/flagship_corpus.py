@@ -40,6 +40,9 @@ def main(argv=None):
     ap.add_argument("--n-words", type=int, default=2000)
     ap.add_argument("--convs", type=int, default=4)
     ap.add_argument("--utts-per-conv", type=int, default=16)
+    ap.add_argument("--vocab", type=int, default=5000,
+                    help="BPE vocab (flagship preset: 5000; smaller for "
+                         "plumbing smokes on tiny corpora)")
     args = ap.parse_args(argv)
 
     from stac_st_tpu.data.synth import (
@@ -89,7 +92,7 @@ def main(argv=None):
     tok_dir = os.path.join(out, "tok")
     os.makedirs(tok_dir, exist_ok=True)
     tok = SentencePiece(
-        model_dir=tok_dir, vocab_size=5000,
+        model_dir=tok_dir, vocab_size=args.vocab,
         annotation_train=manifests["train"]["joint"],
         annotation_read="transcription_and_translation",
         model_type="bpe",

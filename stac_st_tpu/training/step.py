@@ -180,8 +180,21 @@ def _forward(params, cmvn_state, batch, cfg: StepConfig, train: bool,
             wavs, wav_lens, batch["speed_idx"]
         )
     feats = cfg.fbank(wavs)
-    if update_cmvn:
-        cmvn_state = cmvn_update(cmvn_state, feats, wav_lens)
+    if isinstance(update_cmvn, bool):
+        if update_cmvn:
+            cmvn_state = cmvn_update(cmvn_state, feats, wav_lens)
+    else:
+        # traced flag (train_step passes a device bool): both branches
+        # live in ONE compiled program, so the epoch-4 freeze of the
+        # running CMVN stats (update_until_epoch — reference
+        # InputNormalization) does NOT recompile the whole bucket-shape
+        # grid mid-run (it did when this was a static jit arg: a second
+        # full compile set on a 1-core host cost ~30 min wall-clock)
+        cmvn_state = jax.lax.cond(
+            update_cmvn,
+            lambda: cmvn_update(cmvn_state, feats, wav_lens),
+            lambda: cmvn_state,
+        )
     feats = cmvn_apply(cmvn_state, feats)
 
     rngs = {}
@@ -256,12 +269,15 @@ def _objectives(p_ctc, p_seq, batch, cfg: StepConfig):
 def make_train_step(cfg: StepConfig, tx: optax.GradientTransformation):
     """Returns jitted train_step(state, batch, rng, update_cmvn) -> (state, metrics)."""
 
-    @functools.partial(jax.jit, static_argnames=("update_cmvn",),
-                       donate_argnums=(0,))
-    def train_step(state: TrainState, batch, rng, update_cmvn: bool = False):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng, update_cmvn=False):
+        # traced, not static: flipping the CMVN freeze must not recompile
+        # the per-bucket step grid (see _forward)
+        update_flag = jnp.asarray(update_cmvn, bool)
+
         def loss_fn(params):
             p_ctc, p_seq, _, new_cmvn = _forward(
-                params, state.cmvn, batch, cfg, True, update_cmvn, rng
+                params, state.cmvn, batch, cfg, True, update_flag, rng
             )
             loss, metrics = _objectives(p_ctc, p_seq, batch, cfg)
             return loss, (metrics, new_cmvn)

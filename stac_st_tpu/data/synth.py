@@ -49,11 +49,27 @@ VOW_ES = ["a", "e", "i", "o", "u"]
 CONS_EN = ["k", "w", "v", "z", "j", "h", "sh", "th", "br", "ch", "dr", "fl"]
 VOW_EN = ["ee", "ay", "oo", "ih", "eh"]
 
-# f1 by consonant, f2 by vowel: geometric spacing keeps adjacent
-# frequencies >15% apart — wider than the ±6% speaker pitch range, so
-# the classes stay separable after speaker variation.
-_F1 = 220.0 * (1.20 ** np.arange(len(CONS_ES)))
-_F2 = 2400.0 * (1.16 ** np.arange(len(VOW_ES)))
+# Harmonic-stack synthesis (speech-like, SpecAugment-robust): each
+# syllable is a fundamental f0 (indexed by the CONSONANT, geometric
+# spacing 18% >> the ±4% speaker pitch range) with 8 harmonics whose
+# amplitude ENVELOPE is indexed by the VOWEL (formant-like profiles).
+# Spreading every class's energy across many mel bins is what real
+# speech does — and what the reference's SpecAugment assumes: a 30-bin
+# freq mask removes part of a harmonic stack, not the whole class.
+# (A first cut used single sine pairs; 2×30-bin masks then erased whole
+# classes per utterance — label noise that plateaued flagship training
+# at ACC≈0.3. docs/PERF.md round 5.)
+_F0 = 220.0 * (1.18 ** np.arange(len(CONS_ES)))   # 220..1360 Hz
+_N_HARM = 8
+_K = np.arange(1, _N_HARM + 1, dtype=np.float32)
+_VOWEL_ENV = np.stack([
+    1.0 / _K,                                   # falling (a)
+    np.ones_like(_K),                           # flat (e)
+    np.exp(-0.5 * ((_K - 3.0) / 1.2) ** 2),     # mid peak (i)
+    np.exp(-0.5 * ((_K - 6.5) / 1.5) ** 2),     # high peak (o)
+    np.where(_K % 2 == 1, 1.0, 0.25),           # odd-harmonic (u)
+]).astype(np.float32)
+_VOWEL_ENV /= np.linalg.norm(_VOWEL_ENV, axis=1, keepdims=True)
 
 SYLLABLE_SEC = 0.15
 WORD_GAP_SEC = 0.06
@@ -96,11 +112,18 @@ def build_lexicon(n_words: int = 2000, seed: int = 0) -> Lexicon:
 def _render_syllable(c: int, v: int, pitch: float, rng) -> np.ndarray:
     n = int(SYLLABLE_SEC * SR)
     t = np.arange(n, dtype=np.float32) / SR
-    f1 = _F1[c] * pitch
-    f2 = _F2[v] * pitch
-    a1 = 0.28 * float(rng.uniform(0.85, 1.15))
-    a2 = 0.22 * float(rng.uniform(0.85, 1.15))
-    sig = a1 * np.sin(2 * np.pi * f1 * t) + a2 * np.sin(2 * np.pi * f2 * t)
+    f0 = _F0[c] * pitch
+    weights = _VOWEL_ENV[v] * rng.uniform(
+        0.8, 1.2, _N_HARM).astype(np.float32)
+    # harmonics above Nyquist/mel range contribute aliasing, drop them
+    keep = (f0 * _K) < 7600.0
+    phases = rng.uniform(0.0, 2 * np.pi, _N_HARM).astype(np.float32)
+    sig = np.zeros(n, np.float32)
+    for k in range(_N_HARM):
+        if keep[k]:
+            sig += weights[k] * np.sin(
+                2 * np.pi * f0 * _K[k] * t + phases[k])
+    sig *= 0.3 / max(float(np.max(np.abs(sig))), 1e-6)
     edge = int(EDGE_SEC * SR)
     env = np.ones(n, np.float32)
     ramp = np.linspace(0.0, 1.0, edge, dtype=np.float32)
@@ -111,8 +134,8 @@ def _render_syllable(c: int, v: int, pitch: float, rng) -> np.ndarray:
 
 def render_words(lex: Lexicon, word_ids: Sequence[int], speaker: int,
                  rng) -> np.ndarray:
-    """One single-speaker segment: syllable chords with word gaps."""
-    pitch = (0.93 + 0.028 * (speaker % 6)) * float(rng.uniform(0.99, 1.01))
+    """One single-speaker segment: harmonic syllables with word gaps."""
+    pitch = (0.96 + 0.016 * (speaker % 6)) * float(rng.uniform(0.99, 1.01))
     gap = np.zeros(int(WORD_GAP_SEC * SR), np.float32)
     parts: List[np.ndarray] = []
     for j, w in enumerate(word_ids):

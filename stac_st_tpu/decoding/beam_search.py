@@ -435,10 +435,22 @@ def beam_search(
     (t_final, alive_tokens, alive_scores, fin_tokens, fin_scores,
      fin_lengths, *_rest) = carry
 
-    # ---- fallback: hyps that never emitted eos compete at final length ----
-    final_len = jnp.maximum(t_final, 1).astype(jnp.float32)
+    # ---- fallback: hyps that never emitted eos compete at the BUDGET ----
+    # Normalized by norm_len (the certified budget), NOT by the loop's
+    # exit step t_final: t_final is batch-global (the early exit fires
+    # when every ROW settles), so dividing by it couples one row's
+    # selection to its batch mates — decoding the same utterance in a
+    # different batch could pick a different hypothesis (observed at
+    # flagship shape on a weak model: 34/64 rows flipped between a
+    # full and a padded partial batch). Under the cond's bound,
+    # max(alive)/norm_len <= max(fin) at exit, so with norm_len
+    # normalization an alive hyp can only win when NO finished hyp
+    # exists — and then the loop ran to the full budget anyway
+    # (t_final == norm_len). This is also SpeechBrain's semantics: its
+    # loop always runs the full budget, so unfinished hyps compete at
+    # the budget length, never at an early-exit step.
     alive_sel = (
-        alive_scores / final_len
+        alive_scores / norm_len
         if config.length_normalization
         else alive_scores
     )

@@ -529,3 +529,60 @@ class TestFusedMultiPrompt:
         )
         assert f_a == h_a
         assert f_b == h_b
+
+
+class TestBatchCompositionInvariance:
+    """A row's decode must not depend on what else shares its batch.
+
+    The early-exit while_loop's exit step t_final is batch-global; the
+    alive-hypothesis fallback once normalized by it, so the SAME
+    utterance decoded next to different batch mates (or silence padding)
+    could select a different hypothesis (observed at flagship shape:
+    34/64 rows flipped between a full and a padded partial batch). The
+    fallback now normalizes by the certified budget, which also matches
+    SpeechBrain's full-budget-loop semantics."""
+
+    def _hyps(self, setup, searcher, enc, lens):
+        searcher.set_decoder_prefix_tokens(3, 4)
+        hyps, _ = searcher(enc, lens)
+        return hyps
+
+    @pytest.mark.parametrize("norm", [True, False])
+    def test_rows_invariant_under_batch_composition(self, setup, norm):
+        searcher = setup["make_searcher"](
+            beam_size=4, using_eos_threshold=True,
+            length_normalization=norm, temperature=1.15,
+        )
+        B, S = 8, 12
+        enc = _random_enc(setup, B, S)
+        lens = jnp.asarray(
+            np.linspace(0.5, 1.0, B).astype(np.float32))
+        full = self._hyps(setup, searcher, enc, lens)
+        # decode the same rows in small ragged groups (with different
+        # neighbors and loop exit times)
+        for lo, hi in ((0, 3), (3, 5), (5, 8)):
+            part = self._hyps(setup, searcher, enc[lo:hi], lens[lo:hi])
+            for i, h in enumerate(part):
+                assert h == full[lo + i], (norm, lo + i)
+
+    def test_rows_invariant_next_to_silence_rows(self, setup):
+        searcher = setup["make_searcher"](
+            beam_size=4, using_eos_threshold=True,
+            length_normalization=True, temperature=1.15,
+        )
+        B, S = 4, 12
+        enc = _random_enc(setup, B, S)
+        lens = jnp.ones((B,), jnp.float32)
+        full = self._hyps(setup, searcher, enc, lens)
+        # pad with near-silence rows (settle immediately) — real rows
+        # must decode identically
+        sil = setup["model"].apply(
+            setup["t_params"],
+            jnp.zeros((4, S, 16), jnp.float32),
+            method=setup["model"].encode,
+        )
+        enc_p = jnp.concatenate([enc, sil], axis=0)
+        lens_p = jnp.concatenate([lens, jnp.full((4,), 0.25)], axis=0)
+        padded = self._hyps(setup, searcher, enc_p, lens_p)
+        for i in range(B):
+            assert padded[i] == full[i], i
